@@ -1,0 +1,23 @@
+"""Test configuration: run the whole suite on a virtual 8-device CPU mesh.
+
+Multi-chip sharding logic (pjit/shard_map over a Mesh) is validated on
+host-platform virtual devices; real-TPU execution is covered by bench.py and
+the driver's `__graft_entry__` compile checks.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
+# Persistent compile cache: the suite is compile-bound on CPU otherwise.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

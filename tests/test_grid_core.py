@@ -1,0 +1,191 @@
+"""Grid core tests — golden semantics derived from the reference's documented
+fvdb behavior (/root/reference/infinicube/utils/fvdb_test.py:78-80):
+grid_coord = (p - origin)/vs ; ijk = round(grid_coord) ; world = ijk*vs + origin.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from infinicube_tpu.grid import (
+    Grid, grid_from_points, grid_from_ijk, grid_from_dense,
+    grid_from_nearest_voxels_to_points, coarsened_grid, subdivided_grid,
+    merge_grids, ops, keys as K,
+)
+
+
+def rand_points(rng, b, n):
+    return jnp.asarray(rng.uniform(0, 1, size=(b, n, 3)), jnp.float32)
+
+
+def test_fvdb_doctest_semantics():
+    # Example 1: origin 0, vs 1, 100 points in (0,1)^3 -> 8 voxels.
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(rng.uniform(0.01, 0.99, size=(1, 100, 3)), jnp.float32)
+    mask = jnp.ones((1, 100), bool)
+    g1 = grid_from_points(pts, mask, 1.0, 0.0, capacity=64)
+    assert int(g1.total_voxels) == 8
+    # Example 2: origin 0.5 -> 1 voxel.
+    g2 = grid_from_points(pts, mask, 1.0, 0.5, capacity=64)
+    assert int(g2.total_voxels) == 1
+    # the probe point [1.1, 0.6, 0.6]: in grid1, out of grid2
+    probe = jnp.array([[[1.1, 0.6, 0.6]]], jnp.float32)
+    assert bool(g1.points_in_active_voxel(probe)[0, 0])
+    assert not bool(g2.points_in_active_voxel(probe)[0, 0])
+
+
+def test_from_points_matches_numpy_unique():
+    rng = np.random.default_rng(1)
+    pts = rng.uniform(-5, 5, size=(2, 500, 3)).astype(np.float32)
+    vs, org = 0.4, np.array([0.1, -0.2, 0.3], np.float32)
+    g = grid_from_points(jnp.asarray(pts), jnp.ones((2, 500), bool), vs, org,
+                         capacity=1024)
+    for b in range(2):
+        ref = np.unique(np.round((pts[b] - org) / vs).astype(np.int64), axis=0)
+        n = int(g.num_voxels[b])
+        assert n == len(ref)
+        got = np.asarray(g.ijk[b, :n])
+        # sorted lexicographically by (i, j, k)
+        order = np.lexsort((ref[:, 2], ref[:, 1], ref[:, 0]))
+        np.testing.assert_array_equal(got, ref[order])
+
+
+def test_ijk_to_index_roundtrip_and_miss():
+    rng = np.random.default_rng(2)
+    ijk = jnp.asarray(rng.integers(-50, 50, size=(2, 300, 3)), jnp.int32)
+    mask = jnp.asarray(rng.uniform(size=(2, 300)) > 0.3)
+    g = grid_from_ijk(ijk, mask, 1.0, 0.0, capacity=512)
+    # every active voxel's own ijk resolves to its own slot
+    idx = g.ijk_to_index(g.ijk, g.mask)
+    n0 = int(g.num_voxels[0])
+    np.testing.assert_array_equal(np.asarray(idx[0, :n0]), np.arange(n0))
+    # a guaranteed-absent coordinate misses
+    miss = jnp.full((2, 1, 3), 999, jnp.int32)
+    assert int(g.ijk_to_index(miss)[0, 0]) == -1
+
+
+def test_dense_roundtrip():
+    rng = np.random.default_rng(3)
+    occ = jnp.asarray(rng.uniform(size=(2, 4, 5, 6)) > 0.5)
+    g = grid_from_dense(2, (4, 5, 6), (-1, 0, 2), 1.0, 0.0, occupancy=occ)
+    data = jnp.asarray(rng.normal(size=(2, g.capacity, 7)), jnp.float32)
+    data = data * g.mask[..., None]
+    dense = ops.to_dense(g, data, (-1, 0, 2), (4, 5, 6))
+    back = ops.read_from_dense(g, dense, (-1, 0, 2))
+    np.testing.assert_allclose(np.asarray(back), np.asarray(data), atol=1e-6)
+    assert int(g.total_voxels) == int(occ.sum())
+
+
+def test_coarsen_subdivide_world_alignment():
+    ijk = jnp.array([[[0, 0, 0], [1, 1, 0], [3, 2, 1], [-2, -1, -1]]], jnp.int32)
+    g = grid_from_ijk(ijk, jnp.ones((1, 4), bool), 0.2, 0.0, capacity=16)
+    gc = coarsened_grid(g, (2, 2, 1), capacity=16)
+    # parent of (3,2,1) is (1,1,1); of (-2,-1,-1) is (-1,-1,-1)
+    got = {tuple(v) for v in np.asarray(gc.ijk[0])[np.asarray(gc.mask[0])]}
+    assert got == {(0, 0, 0), (1, 1, 1), (-1, -1, -1)}
+    # coarse voxel center must equal mean of its 2x2x1 children's centers
+    cc = np.asarray(gc.voxel_centers()[0])[np.asarray(gc.mask[0])]
+    assert np.allclose(sorted(cc[:, 0]), sorted([0.1, 0.5, -0.3]), atol=1e-6)
+    # subdividing the coarse grid reproduces a superset containing g's voxels
+    gs = subdivided_grid(gc, (2, 2, 1), capacity=64)
+    assert np.allclose(np.asarray(gs.voxel_size), np.asarray(g.voxel_size))
+    idx = gs.ijk_to_index(g.ijk, g.mask)
+    assert bool(jnp.all(idx[g.mask] >= 0))
+
+
+def test_splat_sample_trilinear_partition_of_unity():
+    rng = np.random.default_rng(4)
+    # dense grid so all 8 neighbors exist for interior points
+    g = grid_from_dense(1, (6, 6, 6), (0, 0, 0), 1.0, 0.0)
+    pts = jnp.asarray(rng.uniform(1.0, 4.0, size=(1, 50, 3)), jnp.float32)
+    m = jnp.ones((1, 50), bool)
+    feats = jnp.ones((1, 50, 2), jnp.float32)
+    acc = ops.splat_trilinear(g, pts, feats, m)
+    # total splatted mass = number of points (weights sum to 1)
+    assert np.isclose(float(acc[..., 0].sum()), 50.0, atol=1e-4)
+    # sampling a linear field reproduces it exactly (trilinear is exact on linear)
+    vals = g.voxel_centers() @ jnp.array([1.0, 2.0, 3.0])
+    samp = ops.sample_trilinear(g, vals[..., None], pts, m)
+    ref = np.asarray(pts) @ np.array([1.0, 2.0, 3.0])
+    np.testing.assert_allclose(np.asarray(samp[..., 0]), ref, atol=1e-4)
+
+
+def test_scatter_and_majority():
+    pts = jnp.array([[[0.0, 0, 0], [0.1, 0, 0], [2.0, 0, 0], [2.1, 0, 0],
+                      [2.2, 0, 0]]], jnp.float32)
+    m = jnp.ones((1, 5), bool)
+    g = grid_from_points(pts, m, 1.0, 0.0, capacity=8)
+    labels = jnp.array([[3, 3, 1, 2, 2]], jnp.int32)
+    lab = ops.majority_label(g, pts, labels, m, num_classes=4)
+    n = int(g.num_voxels[0])
+    assert n == 2
+    got = np.asarray(lab[0, :n])
+    assert set(got) == {3, 2}
+    s = ops.scatter_to_grid(g, pts, jnp.ones((1, 5, 1)), m, reduce="sum")
+    assert sorted(np.asarray(s[0, :n, 0]).tolist()) == [2.0, 3.0]
+    mx = ops.scatter_to_grid(g, pts, pts[..., :1], m, reduce="max")
+    assert np.isclose(np.asarray(mx[0, :n, 0]).max(), 2.2, atol=1e-6)
+
+
+def test_neighbor_indexes():
+    ijk = jnp.array([[[0, 0, 0], [1, 0, 0], [0, 1, 0]]], jnp.int32)
+    g = grid_from_ijk(ijk, jnp.ones((1, 3), bool), 1.0, 0.0, capacity=8)
+    nb = ops.neighbor_indexes(g, 3)  # [1, 8, 27]
+    n = int(g.num_voxels[0])
+    nb = np.asarray(nb[0, :n])
+    # center tap (offset 0,0,0) is index 13 in row-major 3x3x3
+    np.testing.assert_array_equal(nb[:, 13], np.arange(n))
+    # each active voxel sees the other two as neighbors
+    assert all((nb[i] >= 0).sum() == 3 for i in range(n))
+
+
+def test_pool_and_upsample():
+    rng = np.random.default_rng(5)
+    g = grid_from_dense(1, (4, 4, 2), (0, 0, 0), 1.0, 0.0)
+    data = jnp.asarray(rng.normal(size=(1, g.capacity, 3)), jnp.float32)
+    gc, pooled = ops.max_pool(g, data, (2, 2, 1))
+    assert int(gc.total_voxels) == 2 * 2 * 2
+    # check one parent's max by brute force
+    pijk = np.asarray(gc.ijk[0, 0])
+    children = [i for i in range(g.capacity)
+                if (np.asarray(g.ijk[0, i]) // [2, 2, 1] == pijk).all()]
+    ref = np.asarray(data[0, children]).max(axis=0)
+    np.testing.assert_allclose(np.asarray(pooled[0, 0]), ref, atol=1e-6)
+    # upsample copies parent values to children
+    gf, up = ops.upsample_nearest(gc, pooled, (2, 2, 1), capacity=64)
+    assert int(gf.total_voxels) == 32
+    idx = gf.ijk_to_index(g.ijk, g.mask)
+    assert bool(jnp.all(idx[g.mask] >= 0))
+
+
+def test_merge_grids():
+    a = grid_from_ijk(jnp.array([[[0, 0, 0], [1, 0, 0]]], jnp.int32),
+                      jnp.ones((1, 2), bool), 1.0, 0.0, capacity=4)
+    b = grid_from_ijk(jnp.array([[[1, 0, 0], [2, 0, 0]]], jnp.int32),
+                      jnp.ones((1, 2), bool), 1.0, 0.0, capacity=4)
+    m = merge_grids(a, b)
+    assert int(m.total_voxels) == 3
+
+
+def test_jit_and_grad_through_data_ops():
+    # data ops must be differentiable w.r.t. features (needed by sparse conv)
+    g = grid_from_dense(1, (3, 3, 3), (0, 0, 0), 1.0, 0.0)
+
+    def loss(data):
+        dense = ops.to_dense(g, data, (0, 0, 0), (3, 3, 3))
+        back = ops.read_from_dense(g, dense, (0, 0, 0))
+        return jnp.sum(back ** 2)
+
+    data = jnp.ones((1, g.capacity, 2))
+    gr = jax.jit(jax.grad(loss))(data)
+    np.testing.assert_allclose(np.asarray(gr), 2 * np.asarray(data), atol=1e-6)
+
+
+def test_pack_unpack_roundtrip():
+    rng = np.random.default_rng(6)
+    ijk = jnp.asarray(rng.integers(-500, 500, size=(1000, 3)), jnp.int32)
+    back = K.unpack(K.pack(ijk))
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(ijk))
+    # out-of-domain -> INVALID
+    assert K.pack(jnp.array([[5000, 0, 0]], jnp.int32))[0] == K.INVALID_KEY
