@@ -1,0 +1,239 @@
+"""Guidance-buffer generation: semantic / depth / instance / coordinate buffers
+rendered from the semantic voxel world (pipeline stage 2, north-star config 1).
+
+Behavioral mirror of the reference's
+``generate_infinicube_buffer_from_fvdb_grid``
+(/root/reference/infinicube/utils/fvdb_utils.py:388-618) and the coordinate
+buffer (/root/reference/infinicube/utils/buffer_utils.py:180-265), re-designed
+TPU-first (SURVEY.md §7.4):
+
+- The reference rebuilds a 0.2 m fvdb grid of (scene points + posed car
+  points) EVERY frame and raycasts it three times (depth, semantic, instance).
+  Here the static world is densified ONCE into occupancy/semantic/instance
+  blocks, and each dynamic car is raycast analytically: rays are transformed
+  into the object's canonical frame and DDA-marched through ONE shared
+  canonical car occupancy block with per-object voxel size lwh/dims. One DDA
+  pass yields depth+semantic+instance simultaneously; frames become a
+  ``lax.scan``. No per-frame voxelization, sorting, or host round-trips.
+
+Buffer encodings (match reference inference.md + fvdb_utils):
+- depth buffer: z-depth in meters, 0 = no hit (sky).
+- semantic buffer: Waymo class id at first hit, 0 = background/sky.
+- instance buffer: instance id at first hit, 0 = none (dynamic ids >= 10000,
+  cf. scene_gaussian_generation.py instance >= 10000 => dynamic).
+- coordinate buffer: frame-0-camera xyz normalized to [0,1] by global
+  percentiles, no-hit pixels = 1.0 (white).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from infinicube_tpu.camera.pinhole import PinholeCamera
+from infinicube_tpu.camera import projection as proj
+from infinicube_tpu.grid.grid import Grid
+from infinicube_tpu.grid.ops import to_dense
+from infinicube_tpu.ops.raycast import dda_first_hit
+from infinicube_tpu.utils.cad_car import canonical_car_occupancy
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class StaticSceneBlocks:
+    """Densified static world, built once per scene."""
+    occ: jnp.ndarray        # bool [D, H, W]
+    semantic: jnp.ndarray   # int32[D, H, W]
+    instance: jnp.ndarray   # int32[D, H, W]
+    voxel_size: jnp.ndarray  # f32[3]
+    origin: jnp.ndarray      # f32[3]
+    ijk_min: jnp.ndarray     # int32[3]
+
+
+def build_static_blocks(grid: Grid, semantics: jnp.ndarray,
+                        instance: jnp.ndarray, ijk_min, dense_dims
+                        ) -> StaticSceneBlocks:
+    """grid: batch-1 Grid; semantics int32[C]; instance int32[C]."""
+    occ = to_dense(grid, grid.mask[..., None].astype(jnp.int32),
+                   ijk_min, dense_dims)[0, ..., 0] > 0
+    sem = to_dense(grid, semantics[None, :, None], ijk_min, dense_dims)[0, ..., 0]
+    ins = to_dense(grid, instance[None, :, None], ijk_min, dense_dims)[0, ..., 0]
+    return StaticSceneBlocks(
+        occ=occ, semantic=sem.astype(jnp.int32), instance=ins.astype(jnp.int32),
+        voxel_size=grid.voxel_size, origin=grid.origin,
+        ijk_min=jnp.asarray(ijk_min, jnp.int32))
+
+
+class DynamicObjects(NamedTuple):
+    """Per-sequence dynamic (and optionally static CAD) car set.
+
+    poses  f32[T, M, 4, 4] object-to-world per frame
+    lwh    f32[M, 3]
+    ids    int32[M]  (>= 10000 for dynamic objects by convention)
+    sem    int32[M]  semantic class (CAR etc.)
+    valid  bool[T, M]
+    """
+    poses: jnp.ndarray
+    lwh: jnp.ndarray
+    ids: jnp.ndarray
+    sem: jnp.ndarray
+    valid: jnp.ndarray
+
+    @staticmethod
+    def empty(num_frames: int):
+        return DynamicObjects(
+            poses=jnp.zeros((num_frames, 1, 4, 4)).at[:, :, [0, 1, 2, 3],
+                                                      [0, 1, 2, 3]].set(1.0),
+            lwh=jnp.ones((1, 3)), ids=jnp.zeros((1,), jnp.int32),
+            sem=jnp.zeros((1,), jnp.int32),
+            valid=jnp.zeros((num_frames, 1), bool))
+
+
+class FrameBuffers(NamedTuple):
+    depth: jnp.ndarray      # f32 [H, W] z-depth, 0 = sky
+    semantic: jnp.ndarray   # int32 [H, W]
+    instance: jnp.ndarray   # int32 [H, W]
+
+
+def _static_hit(blocks: StaticSceneBlocks, ray_o, ray_d, max_steps):
+    hit = dda_first_hit(blocks.occ, ray_o, ray_d, blocks.voxel_size,
+                        blocks.origin, blocks.ijk_min, max_steps=max_steps)
+    rel = hit.ijk - blocks.ijk_min
+    D, H, W = blocks.occ.shape
+    rel = jnp.clip(rel, 0, jnp.array([D - 1, H - 1, W - 1]))
+    sem = blocks.semantic[rel[:, 0], rel[:, 1], rel[:, 2]]
+    ins = blocks.instance[rel[:, 0], rel[:, 1], rel[:, 2]]
+    t = jnp.where(hit.hit, hit.t_entry, jnp.inf)
+    return t, jnp.where(hit.hit, sem, 0), jnp.where(hit.hit, ins, 0)
+
+
+def _object_hits(car_occ, objects_t, lwh, ray_o, ray_d, valid_t, max_steps):
+    """First-hit t for every object. Returns t f32[M, N] (inf = miss)."""
+    dims = jnp.asarray(car_occ.shape, jnp.float32)
+    ijk_min = tuple(-(d // 2) for d in car_occ.shape)
+
+    def per_object(pose, lwh_m, valid_m):
+        R = pose[:3, :3]
+        t = pose[:3, 3]
+        o_loc = (ray_o - t) @ R  # R^T from the right
+        d_loc = ray_d @ R
+        vs = lwh_m / dims
+        hit = dda_first_hit(car_occ, o_loc, d_loc, vs, vs / 2.0, ijk_min,
+                            max_steps=max_steps)
+        return jnp.where(hit.hit & valid_m, hit.t_entry, jnp.inf)
+
+    return jax.vmap(per_object)(objects_t, lwh, valid_t)
+
+
+@partial(jax.jit, static_argnames=("image_hw", "max_steps_static",
+                                   "max_steps_obj"))
+def render_frame(blocks: StaticSceneBlocks, objects: DynamicObjects,
+                 frame_idx, K: jnp.ndarray, cam_to_world: jnp.ndarray,
+                 image_hw: tuple[int, int], max_steps_static: int = 768,
+                 max_steps_obj: int = 64) -> FrameBuffers:
+    """Render one frame's depth/semantic/instance buffers."""
+    h, w = image_hw
+    ray_o, ray_d = proj.posed_rays_from_intrinsics(K, cam_to_world, image_hw)
+    ray_o, ray_d = ray_o.reshape(-1, 3), ray_d.reshape(-1, 3)
+
+    t_s, sem_s, ins_s = _static_hit(blocks, ray_o, ray_d, max_steps_static)
+
+    car_occ = jnp.asarray(canonical_car_occupancy())
+    t_o = _object_hits(car_occ, objects.poses[frame_idx], objects.lwh,
+                       ray_o, ray_d, objects.valid[frame_idx], max_steps_obj)
+    best_obj = jnp.argmin(t_o, axis=0)                    # [N]
+    t_best_obj = jnp.min(t_o, axis=0)
+
+    obj_wins = t_best_obj < t_s
+    t = jnp.where(obj_wins, t_best_obj, t_s)
+    sem = jnp.where(obj_wins, objects.sem[best_obj], sem_s)
+    ins = jnp.where(obj_wins, objects.ids[best_obj], ins_s)
+    hit = jnp.isfinite(t)
+
+    # distance -> z-depth: rays are normalized; cos = d . optical_axis
+    fwd = cam_to_world[:3, 2]
+    cosang = ray_d @ fwd
+    depth = jnp.where(hit, t * cosang, 0.0)
+    return FrameBuffers(depth=depth.reshape(h, w),
+                        semantic=jnp.where(hit, sem, 0).reshape(h, w).astype(jnp.int32),
+                        instance=jnp.where(hit, ins, 0).reshape(h, w).astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("image_hw", "max_steps_static",
+                                   "max_steps_obj"))
+def render_sequence(blocks: StaticSceneBlocks, objects: DynamicObjects,
+                    K: jnp.ndarray, cam_to_worlds: jnp.ndarray,
+                    image_hw: tuple[int, int], max_steps_static: int = 768,
+                    max_steps_obj: int = 64) -> FrameBuffers:
+    """Render all frames with a lax.scan. cam_to_worlds f32[T, 4, 4]."""
+    def step(_, inp):
+        fi, pose = inp
+        fb = render_frame(blocks, objects, fi, K, pose, image_hw,
+                          max_steps_static, max_steps_obj)
+        return None, fb
+
+    T = cam_to_worlds.shape[0]
+    _, out = jax.lax.scan(step, None, (jnp.arange(T), cam_to_worlds))
+    return out
+
+
+def generate_coordinate_buffer(depth: jnp.ndarray, K: jnp.ndarray,
+                               cam_to_worlds: jnp.ndarray,
+                               percentile: float = 0.05) -> jnp.ndarray:
+    """Point-map buffer: unproject z-depths into frame-0 CAMERA coordinates and
+    normalize to [0,1] with global per-axis percentiles; no-hit -> 1.0.
+
+    depth f32[T, H, W]; cam_to_worlds f32[T, 4, 4]. Returns f32[T, H, W, 3].
+    (reference buffer_utils.generate_coordinate_buffer_from_memory_global_norm)
+    """
+    from infinicube_tpu.camera.conventions import invert_pose
+    cam0_inv = invert_pose(cam_to_worlds[0])
+    to_cam0 = jnp.einsum("ij,tjk->tik", cam0_inv, cam_to_worlds)
+    pts = jax.vmap(lambda zd, T_: proj.unproject_depth(zd, K, T_))(
+        depth, to_cam0)                                  # [T, H, W, 3]
+    invalid = depth == 0.0
+    flat = pts.reshape(-1, 3)
+    vmask = ~invalid.reshape(-1)
+    # masked per-axis quantiles: sort with invalids pushed to +inf
+    def axis_q(x):
+        xs = jnp.sort(jnp.where(vmask, x, jnp.inf))
+        n = jnp.maximum(jnp.sum(vmask), 1)
+        lo = xs[jnp.clip((percentile * n).astype(jnp.int32), 0, x.shape[0] - 1)]
+        hi = xs[jnp.clip(((1 - percentile) * n).astype(jnp.int32), 0,
+                         x.shape[0] - 1)]
+        return lo, hi
+    lo, hi = jax.vmap(axis_q, in_axes=1, out_axes=0)(flat)
+    rng = jnp.maximum(hi - lo, 1e-7)
+    norm = jnp.clip((pts - lo) / rng, 0.0, 1.0)
+    return jnp.where(invalid[..., None], 1.0, norm)
+
+
+def generate_guidance_buffers(grid: Grid, semantics: jnp.ndarray,
+                              instance: jnp.ndarray, camera: PinholeCamera,
+                              cam_to_worlds: jnp.ndarray,
+                              objects: DynamicObjects | None = None,
+                              ijk_min=None, dense_dims=None):
+    """One-call stage-2 pipeline: static blocks + per-frame DDA + coordinate
+    buffer. Returns dict with depth/semantic/instance [T,H,W] + coordinate
+    [T,H,W,3], all device arrays."""
+    if ijk_min is None or dense_dims is None:
+        mn, mx = grid.bbox_ijk()
+        mn = np.asarray(jax.device_get(mn))[0]
+        mx = np.asarray(jax.device_get(mx))[0]
+        ijk_min = tuple(int(v) for v in mn)
+        dense_dims = tuple(int(v) for v in (mx - mn + 1))
+    blocks = build_static_blocks(grid, semantics, instance, ijk_min, dense_dims)
+    T = cam_to_worlds.shape[0]
+    if objects is None:
+        objects = DynamicObjects.empty(T)
+    fb = render_sequence(blocks, objects, camera.intrinsics_matrix(),
+                         cam_to_worlds, (camera.h, camera.w))
+    coord = generate_coordinate_buffer(fb.depth, camera.intrinsics_matrix(),
+                                       cam_to_worlds)
+    return {"depth": fb.depth, "semantic": fb.semantic,
+            "instance": fb.instance, "coordinate": coord}
