@@ -1,0 +1,82 @@
+"""Headline benchmark: Wan DiT denoise steps/sec/chip (buffer-conditioned,
+93 frames @ 480p, CFG pair per step) on the local accelerator.
+
+Baseline anchor (BASELINE.md): the reference generates 93f@480p with
+Wan2.1-14B in ~20 min / 50 denoise steps on 1x A100 (README.md:65) =>
+0.0417 steps/s with CFG. This bench runs the 1.3B config (fits one chip);
+vs_baseline is parameter-normalized against the A100 anchor:
+    baseline_1_3b_equiv = 0.0417 * (14 / 1.3) = 0.449 steps/s.
+(Conservative for us: 14B attention costs more than 14/1.3 x of 1.3B.)
+
+Env overrides: BENCH_FRAMES (default 93), BENCH_STEPS (timed steps, default 3),
+BENCH_HW ("480x832"). Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+from infinicube_tpu.models.wan.dit import WanDiT, WanDiTConfig
+
+
+def main():
+    frames = int(os.environ.get("BENCH_FRAMES", "93"))
+    timed_steps = int(os.environ.get("BENCH_STEPS", "3"))
+    h, w = (int(x) for x in os.environ.get("BENCH_HW", "480x832").split("x"))
+    T, H, W = 1 + (frames - 1) // 4, h // 8, w // 8
+
+    cfg = WanDiTConfig.wan_1_3b()
+    model = WanDiT(cfg)
+    rng = jax.random.PRNGKey(0)
+
+    lat = jnp.zeros((1, T, H // 2 * 2, W // 2 * 2, cfg.in_channels),
+                    jnp.bfloat16)
+    buf = jnp.zeros((1, T, lat.shape[2], lat.shape[3], cfg.buffer_channels),
+                    jnp.bfloat16)
+    txt = jnp.zeros((1, 512, cfg.text_dim), jnp.bfloat16)
+    t = jnp.zeros((1,), jnp.float32)
+
+    params = jax.jit(model.init)(rng, lat, t, txt, buf)
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, params)
+
+    @jax.jit
+    def denoise_step(p, x, tt, ctx, bl):
+        # CFG: conditional + unconditional in one doubled batch
+        xx = jnp.concatenate([x, x])
+        out = model.apply(p, xx, jnp.concatenate([tt, tt]),
+                          jnp.concatenate([ctx, jnp.zeros_like(ctx)]),
+                          jnp.concatenate([bl, bl]))
+        c, u = jnp.split(out, 2, axis=0)
+        return (u + 5.0 * (c - u)).astype(x.dtype)
+
+    x = jax.random.normal(rng, lat.shape, jnp.bfloat16)
+    # warmup/compile; NOTE: under the axon tunnel block_until_ready does not
+    # actually block — a host fetch is the only reliable fence
+    x = denoise_step(params, x, t, txt, buf)
+    _ = jax.device_get(x[0, 0, 0, 0])
+
+    t0 = time.perf_counter()
+    for i in range(timed_steps):
+        x = denoise_step(params, x, t + i, txt, buf)
+    _ = jax.device_get(x[0, 0, 0, 0])
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = timed_steps / dt
+    baseline = 0.0417 * (14.0 / 1.3)
+    print(json.dumps({
+        "metric": "wan_dit_1.3b_denoise_steps_per_sec_93f480p_cfg",
+        "value": round(steps_per_sec, 4),
+        "unit": "steps/s/chip",
+        "vs_baseline": round(steps_per_sec / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,227 @@
+"""Voxel latent diffusion model: training loss + guided sampling.
+
+Functional counterpart of the reference's ``diffusion.Model``
+(/root/reference/infinicube/voxelgen/models/diffusion.py): frozen-VAE latent
+diffusion on the dense 64x64x64 latent cube, conditioned by concatenation of
+pos-embed + map cube + box cube (release conditioning_key
+``concat_scube_general`` + use_pos_embed/map_3d/box_3d,
+configs/diffusion_64x64x64_dense_vs02_map_cond.yaml:44-52), v-prediction MSE
+training with per-sample timesteps and classifier-free dropout, EMA weights,
+and DDIM/DDPM/DPM++ sampling with CFG and SDEdit overlap injection
+(diffusion.py:917-983 forward, 1644-1755 random_sample_latents, 1408-1566
+evaluation_api).
+
+TPU design: the whole sampler (all denoise steps, CFG pairs batched as a
+doubled batch) jits into one XLA program; latents stay NDHWC end-to-end.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from infinicube_tpu.models.diffusion import encoders
+from infinicube_tpu.models.diffusion.schedulers import (
+    NoiseSchedule, ddim_sample, ddpm_sample, dpmpp_sample)
+from infinicube_tpu.models.diffusion.sdedit import (
+    SDEditState, make_sdedit_callback)
+from infinicube_tpu.models.diffusion.unet3d import UNet3D
+
+
+@dataclasses.dataclass(frozen=True)
+class DiffusionConfig:
+    # latent geometry (release: VAE 64^3 dense neck, 8 ch,
+    # latent voxel sizes [0.8, 0.8, 0.4], cube ijk [-32,32)^2 x [-16,48))
+    latent_channels: int = 8
+    cube_dims: tuple = (64, 64, 64)
+    cube_ijk_min: tuple = (-32, -32, -16)
+    latent_voxel_size: tuple = (0.8, 0.8, 0.4)
+    latent_origin: tuple = (0.4, 0.4, 0.2)
+    # network
+    model_channels: int = 192
+    channel_mult: tuple = (1, 2, 4, 4)
+    attention_ds: tuple = (4, 8)
+    num_res_blocks: int = 2
+    num_heads: int = 8
+    transformer_depth: int = 12
+    dtype: Any = jnp.bfloat16
+    # conditioning
+    num_map_types: int = 3
+    use_map_cond: bool = True
+    use_box_cond: bool = True
+    use_pos_embed: bool = True
+    classifier_free_prob: float = 0.1
+    # diffusion
+    num_train_timesteps: int = 1000
+    beta_start: float = 1e-4
+    beta_end: float = 0.02
+    prediction_type: str = "v_prediction"
+    ema_decay: float = 0.9999
+
+    @property
+    def cond_channels(self) -> int:
+        c = 0
+        if self.use_pos_embed:
+            c += 3
+        if self.use_map_cond:
+            c += self.num_map_types
+        if self.use_box_cond:
+            c += 2
+        return c
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CondCubes:
+    """Dense conditioning cubes, already encoded (zeros = null condition)."""
+    map_cube: jnp.ndarray   # f32[B, D, H, W, n_types]
+    box_cube: jnp.ndarray   # f32[B, D, H, W, 2]
+
+    @staticmethod
+    def null(batch: int, cfg: DiffusionConfig) -> "CondCubes":
+        D, H, W = cfg.cube_dims
+        return CondCubes(jnp.zeros((batch, D, H, W, cfg.num_map_types)),
+                         jnp.zeros((batch, D, H, W, 2)))
+
+
+class VoxelDiffusion:
+    def __init__(self, cfg: DiffusionConfig = DiffusionConfig()):
+        self.cfg = cfg
+        self.unet = UNet3D(
+            out_channels=cfg.latent_channels,
+            model_channels=cfg.model_channels,
+            channel_mult=cfg.channel_mult,
+            num_res_blocks=cfg.num_res_blocks,
+            attention_ds=cfg.attention_ds,
+            num_heads=cfg.num_heads,
+            transformer_depth=cfg.transformer_depth,
+            dtype=cfg.dtype)
+        self.schedule = NoiseSchedule.linear(
+            cfg.num_train_timesteps, cfg.beta_start, cfg.beta_end)
+
+    # ---- parameters -------------------------------------------------------
+    def init(self, rng: jax.Array):
+        cfg = self.cfg
+        D, H, W = cfg.cube_dims
+        x = jnp.zeros((1, D, H, W, cfg.latent_channels + cfg.cond_channels))
+        t = jnp.zeros((1,), jnp.int32)
+        return self.unet.init(rng, x, t)
+
+    # ---- conditioning assembly -------------------------------------------
+    def encode_conditions(self, map_points, map_mask, box_poses, box_lwhs,
+                          box_mask) -> CondCubes:
+        cfg = self.cfg
+        mc = encoders.encode_map(map_points, map_mask, cfg.cube_dims,
+                                 cfg.cube_ijk_min, cfg.latent_voxel_size,
+                                 cfg.latent_origin) if cfg.use_map_cond else None
+        bc = encoders.encode_boxes(box_poses, box_lwhs, box_mask, cfg.cube_dims,
+                                   cfg.cube_ijk_min, cfg.latent_voxel_size,
+                                   cfg.latent_origin) if cfg.use_box_cond else None
+        B = map_points.shape[0] if mc is not None else box_poses.shape[0]
+        null = CondCubes.null(B, cfg)
+        return CondCubes(map_cube=mc if mc is not None else null.map_cube,
+                         box_cube=bc if bc is not None else null.box_cube)
+
+    def _assemble(self, x: jnp.ndarray, cond: CondCubes) -> jnp.ndarray:
+        cfg = self.cfg
+        parts = [x]
+        if cfg.use_pos_embed:
+            pe = encoders.pos_embed_cube(cfg.cube_dims)
+            parts.append(jnp.broadcast_to(pe[None], x.shape[:4] + (3,)))
+        if cfg.use_map_cond:
+            parts.append(cond.map_cube)
+        if cfg.use_box_cond:
+            parts.append(cond.box_cube)
+        return jnp.concatenate(parts, axis=-1)
+
+    def denoise(self, params, x, t, cond: CondCubes):
+        return self.unet.apply(params, self._assemble(x, cond), t)
+
+    # ---- training ---------------------------------------------------------
+    def train_loss(self, params, rng: jax.Array, latents: jnp.ndarray,
+                   cond: CondCubes):
+        """v-prediction MSE with per-sample timesteps + CF dropout
+        (reference diffusion.py:917-983, 476-498)."""
+        cfg = self.cfg
+        B = latents.shape[0]
+        r_t, r_n, r_m, r_b = jax.random.split(rng, 4)
+        t = jax.random.randint(r_t, (B,), 0, cfg.num_train_timesteps)
+        noise = jax.random.normal(r_n, latents.shape)
+        x_t = self.schedule.add_noise(latents, noise, t)
+        target = self.schedule.v_target(latents, noise, t) \
+            if cfg.prediction_type == "v_prediction" else noise
+        cond = CondCubes(
+            map_cube=encoders.classifier_free_drop(
+                cond.map_cube, r_m, cfg.classifier_free_prob),
+            box_cube=encoders.classifier_free_drop(
+                cond.box_cube, r_b, cfg.classifier_free_prob))
+        pred = self.denoise(params, x_t, t, cond)
+        loss = jnp.mean((pred - target) ** 2)
+        return loss, {"mse": loss}
+
+    # ---- sampling ---------------------------------------------------------
+    @partial(jax.jit, static_argnames=("self", "num_steps", "sampler",
+                                       "use_sdedit", "guidance_scale"))
+    def sample(self, params, rng: jax.Array, cond: CondCubes,
+               num_steps: int = 100, guidance_scale: float = 1.0,
+               sampler: str = "ddim", scale_factor: float = 1.0,
+               sdedit: SDEditState | None = None,
+               use_sdedit: bool = False) -> jnp.ndarray:
+        """Generate latents (already divided by scale_factor back to VAE
+        space). CFG runs condition+null as a doubled batch (one UNet call per
+        step). Mirrors evaluation_api + random_sample_latents."""
+        cfg = self.cfg
+        B = cond.map_cube.shape[0]
+        D, H, W = cfg.cube_dims
+        r_init, r_loop = jax.random.split(rng)
+        x_T = jax.random.normal(r_init, (B, D, H, W, cfg.latent_channels))
+
+        use_cfg = guidance_scale != 1.0
+        if use_cfg:
+            null = CondCubes.null(B, cfg)
+            cond2 = CondCubes(
+                map_cube=jnp.concatenate([cond.map_cube, null.map_cube]),
+                box_cube=jnp.concatenate([cond.box_cube, null.box_cube]))
+
+            def model_fn(x, t):
+                out = self.denoise(params, jnp.concatenate([x, x]),
+                                   jnp.concatenate([t, t]), cond2)
+                c, u = jnp.split(out, 2, axis=0)
+                return u + guidance_scale * (c - u)
+        else:
+            def model_fn(x, t):
+                return self.denoise(params, x, t, cond)
+
+        callback = None
+        if use_sdedit and sdedit is not None:
+            sd = SDEditState(
+                warped_latents=sdedit.warped_latents * scale_factor,
+                overlap_mask=sdedit.overlap_mask)
+            callback = make_sdedit_callback(sd, self.schedule,
+                                            jax.random.fold_in(r_loop, 7))
+
+        if sampler == "ddim":
+            x = ddim_sample(self.schedule, model_fn, x_T, num_steps,
+                            prediction_type=cfg.prediction_type,
+                            step_callback=callback)
+        elif sampler == "ddpm":
+            x = ddpm_sample(self.schedule, model_fn, x_T, r_loop, num_steps,
+                            prediction_type=cfg.prediction_type,
+                            step_callback=callback)
+        elif sampler == "dpmpp":
+            x = dpmpp_sample(self.schedule, model_fn, x_T, num_steps,
+                             prediction_type=cfg.prediction_type,
+                             step_callback=callback)
+        else:
+            raise ValueError(sampler)
+        return x / scale_factor
+
+    @staticmethod
+    def compute_scale_factor(latents: jnp.ndarray) -> jnp.ndarray:
+        """scale_by_std: 1/std of the first batch of latents
+        (reference diffusion.py:424-443)."""
+        return 1.0 / jnp.maximum(jnp.std(latents), 1e-6)

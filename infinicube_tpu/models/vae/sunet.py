@@ -1,0 +1,277 @@
+"""Sparse structure-prediction VAE (stage 1a).
+
+Capability mirror of the reference's ``StructPredictionNet``
+(/root/reference/infinicube/voxelgen/modules/autoencoding/sunet.py:269-731)
+and ``autoencoder.Model`` (models/autoencoder.py:51-397), redesigned for the
+capacity-padded grid core:
+
+- **hash tree** (autoencoder.py:77-120): a per-depth grid pyramid built by
+  anisotropic coarsening ([2,2,1] for the first pool, [2,2,2] for the second
+  — release remain-h config, sunet.py:332-334), finest vs 0.2 m over the
+  256x256x128 crop -> latent grid 64^3 at vs [0.8, 0.8, 0.4].
+- **encoder**: voxel featurizer (NeRF posenc of world xyz x5 freqs + 23-class
+  semantic embedding -> Dense, base_encoder.py:25-94), sparse res blocks per
+  level with hash-tree-guided max pooling.
+- **dense neck** (HAND_CRAFTED, sunet.py:574-598): the level-2 grid is
+  scattered into the dense 64^3 cube where the bottleneck runs as *real dense
+  3D convs* (XLA/MXU-friendly; the reference emulates this with sparse convs
+  on a fully-active grid), followed by the pre/post-KL channel cut to 8
+  latent channels (cut_ratio, diffusion.py:185-189).
+- **structure-prediction decoder** (sunet.py:609-673): at each level a
+  2-class head scores candidate voxels; surviving candidates are subdivided
+  (masked UpsamplingNearest) into the next level. Training is GT-guided
+  (teacher forcing on the hash-tree grids) with per-level struct CE; at
+  inference the predicted mask grows the grid, capacity-bounded
+  (SURVEY.md §7.4). Final heads: 23-class semantics (+ optional normals).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from infinicube_tpu.grid import keys as GK
+from infinicube_tpu.grid.build import (
+    coarsened_grid, grid_from_keys, subdivided_grid)
+from infinicube_tpu.grid.grid import Grid
+from infinicube_tpu.grid.ops import (
+    index_map, max_pool, neighbor_indexes, to_dense, upsample_nearest)
+from infinicube_tpu.nn.sparse import GroupNormSparse, SparseResBlock
+
+
+@dataclasses.dataclass(frozen=True)
+class SparseVAEConfig:
+    num_semantic: int = 23
+    sem_embed_dim: int = 32
+    posenc_freqs: int = 5
+    c_dim: int = 32
+    f_maps: int = 64                       # level l features = f_maps * 2^l
+    pooling_factors: tuple = ((2, 2, 1), (2, 2, 2))
+    latent_channels: int = 8
+    neck_dims: tuple = (64, 64, 64)
+    neck_ijk_min: tuple = (-32, -32, -16)
+    capacities: tuple = (131072, 65536, 32768)
+    finest_voxel_size: tuple = (0.2, 0.2, 0.2)
+    origin: tuple = (0.1, 0.1, 0.1)
+    use_normal_head: bool = False
+    dtype: object = jnp.float32
+
+    @property
+    def tree_depth(self) -> int:
+        return len(self.pooling_factors) + 1
+
+    def level_features(self, level: int) -> int:
+        return self.f_maps * (2 ** level)
+
+
+def build_hash_tree(cfg: SparseVAEConfig, points: jnp.ndarray,
+                    point_mask: jnp.ndarray) -> list[Grid]:
+    """Grid pyramid [G0 (finest) ... G_L (coarsest)] from input points."""
+    from infinicube_tpu.grid.build import grid_from_points
+    g = grid_from_points(points, point_mask, cfg.finest_voxel_size, cfg.origin,
+                         capacity=cfg.capacities[0])
+    grids = [g]
+    for lvl, f in enumerate(cfg.pooling_factors):
+        g = coarsened_grid(g, tuple(f), capacity=cfg.capacities[lvl + 1])
+        grids.append(g)
+    return grids
+
+
+def posenc(x: jnp.ndarray, num_freqs: int) -> jnp.ndarray:
+    """NeRF positional encoding incl. identity (embedder_util.get_embedder)."""
+    out = [x]
+    for i in range(num_freqs):
+        out.append(jnp.sin(x * (2.0 ** i)))
+        out.append(jnp.cos(x * (2.0 ** i)))
+    return jnp.concatenate(out, axis=-1)
+
+
+class VoxelFeaturizer(nn.Module):
+    """posenc(world xyz) ⊕ semantic embedding -> c_dim features
+    (reference base_encoder.Encoder)."""
+    cfg: SparseVAEConfig
+
+    @nn.compact
+    def __call__(self, grid: Grid, semantics: jnp.ndarray) -> jnp.ndarray:
+        xyz = grid.voxel_centers()
+        # normalize by the crop extent for stable scales
+        extent = jnp.asarray(self.cfg.neck_dims, jnp.float32) * \
+            jnp.asarray(self.cfg.finest_voxel_size) * 4.0
+        pe = posenc(xyz / extent, self.cfg.posenc_freqs)
+        sem = nn.Embed(self.cfg.num_semantic, self.cfg.sem_embed_dim)(
+            jnp.clip(semantics, 0, self.cfg.num_semantic - 1))
+        h = nn.Dense(self.cfg.c_dim)(jnp.concatenate([pe, sem], axis=-1))
+        return jnp.where(grid.mask[..., None], h, 0.0)
+
+
+class DenseNeck(nn.Module):
+    """Dense 64^3 bottleneck: conv -> (mu, logvar) and post-KL conv."""
+    cfg: SparseVAEConfig
+
+    def setup(self):
+        c = self.cfg.level_features(self.cfg.tree_depth - 1)
+        self.pre = nn.Conv(c, (3, 3, 3), dtype=self.cfg.dtype)
+        self.to_stats = nn.Conv(2 * self.cfg.latent_channels, (1, 1, 1))
+        self.post = nn.Conv(c, (3, 3, 3), dtype=self.cfg.dtype)
+
+    def encode(self, dense: jnp.ndarray):
+        h = nn.silu(self.pre(dense.astype(self.cfg.dtype)))
+        mu, logvar = jnp.split(self.to_stats(h.astype(jnp.float32)), 2, -1)
+        return mu, jnp.clip(logvar, -30.0, 20.0)
+
+    def decode(self, z: jnp.ndarray):
+        return nn.silu(self.post(z.astype(self.cfg.dtype)))
+
+
+def compact_dense_to_grid(occ_mask: jnp.ndarray, cfg: SparseVAEConfig,
+                          capacity: int, voxel_size, origin) -> Grid:
+    """bool[B, D, H, W] -> sorted sparse Grid (capacity-bounded, key order)."""
+    D, H, W = occ_mask.shape[1:]
+    ijk = jnp.stack(jnp.meshgrid(jnp.arange(D), jnp.arange(H), jnp.arange(W),
+                                 indexing="ij"), -1).reshape(-1, 3) + \
+        jnp.asarray(cfg.neck_ijk_min)
+    B = occ_mask.shape[0]
+    qkeys = jnp.where(occ_mask.reshape(B, -1),
+                      GK.pack(jnp.broadcast_to(ijk[None], (B,) + ijk.shape)),
+                      GK.INVALID_KEY)
+    return grid_from_keys(qkeys, capacity, voxel_size, origin)
+
+
+class SparseStructureVAE(nn.Module):
+    """Full VAE. See module docstring. All methods are linen-apply targets:
+    use ``apply(params, ..., method=...)``."""
+    cfg: SparseVAEConfig
+
+    def setup(self):
+        cfg = self.cfg
+        L = cfg.tree_depth
+        self.featurizer = VoxelFeaturizer(cfg)
+        self.enc_blocks = [
+            [SparseResBlock(cfg.level_features(l), dtype=cfg.dtype,
+                            name=f"enc{l}_{i}") for i in range(2)]
+            for l in range(L)]
+        self.neck = DenseNeck(cfg)
+        self.dec_blocks = [
+            [SparseResBlock(cfg.level_features(l), dtype=cfg.dtype,
+                            name=f"dec{l}_{i}") for i in range(2)]
+            for l in range(L)]
+        # struct head per level transition: scores candidates at level l-1
+        self.struct_heads = [nn.Dense(2, name=f"struct{l}")
+                             for l in range(L)]
+        self.sem_head = nn.Dense(cfg.num_semantic, name="sem_head")
+        if cfg.use_normal_head:
+            self.normal_head = nn.Dense(3, name="normal_head")
+
+    # ------------------------------------------------------------------ enc
+    def encode(self, grids: list[Grid], semantics: jnp.ndarray):
+        """grids: hash tree [G0..G_L]; semantics int32[B, C0] on G0.
+        Returns (mu, logvar) dense [B, D, H, W, latent]."""
+        cfg = self.cfg
+        h = self.featurizer(grids[0], semantics)
+        for l, g in enumerate(grids):
+            nbr = neighbor_indexes(g, 3)
+            for blk in self.enc_blocks[l]:
+                h = blk(h, nbr, g.mask)
+            if l < len(cfg.pooling_factors):
+                _, h = max_pool(g, h, cfg.pooling_factors[l],
+                                coarse=grids[l + 1])
+        dense = to_dense(grids[-1], h.astype(jnp.float32), cfg.neck_ijk_min,
+                         cfg.neck_dims)
+        return self.neck.encode(dense)
+
+    def reparametrize(self, mu, logvar, rng):
+        return mu + jnp.exp(0.5 * logvar) * jax.random.normal(rng, mu.shape)
+
+    # ------------------------------------------------------------------ dec
+    def _level_voxel_size(self, level: int):
+        vs = np.asarray(self.cfg.finest_voxel_size, np.float64)
+        org = np.asarray(self.cfg.origin, np.float64)
+        for f in self.cfg.pooling_factors[:level]:
+            f = np.asarray(f)
+            org = org + vs * (f - 1) / 2.0
+            vs = vs * f
+        return jnp.asarray(vs, jnp.float32), jnp.asarray(org, jnp.float32)
+
+    def decode(self, z: jnp.ndarray, guide_grids: list[Grid] | None = None):
+        """Decode latents into a sparse semantic grid.
+
+        Training (guide_grids = GT hash tree): teacher-forced; returns
+        per-level struct logits + targets for the loss.
+        Inference (guide_grids None): predicted masks grow the grid.
+
+        Returns dict: grid (finest Grid), semantic_logits [B, C0, 23],
+        struct: list of (logits [B, Ck, 2], target bool, cand_mask).
+        """
+        cfg = self.cfg
+        L = cfg.tree_depth
+        h_dense = self.neck.decode(z)
+        # level L-1 struct: which dense cells are real voxels
+        logits_top = self.struct_heads[L - 1](h_dense.astype(jnp.float32))
+        struct_out = []
+        vs, org = self._level_voxel_size(L - 1)
+
+        if guide_grids is not None:
+            g = guide_grids[L - 1]
+            occ = to_dense(g, g.mask[..., None].astype(jnp.float32),
+                           cfg.neck_ijk_min, cfg.neck_dims)[..., 0] > 0
+            struct_out.append((logits_top.reshape(z.shape[0], -1, 2),
+                               occ.reshape(z.shape[0], -1),
+                               jnp.ones_like(occ.reshape(z.shape[0], -1))))
+            grid = g
+        else:
+            pred_occ = jnp.argmax(logits_top, axis=-1) > 0
+            grid = compact_dense_to_grid(pred_occ, cfg, cfg.capacities[L - 1],
+                                         vs, org)
+        # gather dense features onto the (sparse) level L-1 grid
+        from infinicube_tpu.grid.ops import read_from_dense
+        h = read_from_dense(grid, h_dense.astype(jnp.float32),
+                            cfg.neck_ijk_min)
+
+        for l in range(L - 1, -1, -1):
+            nbr = neighbor_indexes(grid, 3)
+            for blk in self.dec_blocks[l]:
+                h = blk(h.astype(cfg.dtype), nbr, grid.mask)
+            if l == 0:
+                break
+            factor = cfg.pooling_factors[l - 1]
+            # candidates: subdivide every voxel (full fan-out capacity so no
+            # candidate is dropped before the struct head scores it)
+            cand_cap = grid.capacity * int(np.prod(factor))
+            cand, h_cand = upsample_nearest(grid, h, factor,
+                                            capacity=cand_cap)
+            logits = self.struct_heads[l - 1](h_cand.astype(jnp.float32))
+            if guide_grids is not None:
+                gt = guide_grids[l - 1]
+                member = index_map(cand, gt) >= 0
+                struct_out.append((logits, member & cand.mask, cand.mask))
+                keep = member & cand.mask
+            else:
+                keep = (jnp.argmax(logits, axis=-1) > 0) & cand.mask
+            # prune: keep surviving candidates, re-compact to capacity
+            kept_keys = jnp.where(keep, cand.keys, GK.INVALID_KEY)
+            new_grid = grid_from_keys(kept_keys, cfg.capacities[l - 1],
+                                      cand.voxel_size, cand.origin)
+            move = index_map(new_grid, cand)
+            h = jax.vmap(lambda d, i: d[jnp.clip(i, 0)])(h_cand, move)
+            h = jnp.where((move >= 0)[..., None], h, 0.0)
+            grid = new_grid
+
+        sem_logits = self.sem_head(h.astype(jnp.float32))
+        out = {"grid": grid, "semantic_logits": sem_logits,
+               "struct": struct_out, "features": h}
+        if cfg.use_normal_head:
+            out["normals"] = self.normal_head(h.astype(jnp.float32))
+        return out
+
+    # ------------------------------------------------------------- combined
+    def __call__(self, grids: list[Grid], semantics: jnp.ndarray,
+                 rng: jax.Array):
+        mu, logvar = self.encode(grids, semantics)
+        z = self.reparametrize(mu, logvar, rng)
+        dec = self.decode(z, guide_grids=grids)
+        return {"mu": mu, "logvar": logvar, "z": z, **dec}

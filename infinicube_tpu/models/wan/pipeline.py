@@ -1,0 +1,160 @@
+"""Wan video generation pipeline: text + guidance buffers -> RGB video.
+
+Public API mirror of the reference's ``WanVideoGenerator``
+(/root/reference/infinicube/videogen/inference.py:30-241):
+``generate(semantic_buffer, coordinate_buffer, prompt, ...) -> frames``.
+The buffers (uint8 RGB videos) are VAE-encoded, concatenated (32 ch), and fed
+to the DiT's zero-init buffer embedder; denoising is flow-matching Euler with
+classifier-free guidance (negative prompt), 50 steps by default.
+
+The whole denoise loop + CFG runs as ONE jitted lax.scan program; the 14B
+config shards heads/FFN over the mesh "model" axis (see parallel/mesh.py and
+weights/wan_convert.py for checkpoint sharding)."""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from infinicube_tpu.models.wan.dit import WanDiT, WanDiTConfig
+from infinicube_tpu.models.wan.flow_match import FlowMatchSchedule
+from infinicube_tpu.models.wan.t5 import T5Config, T5Encoder
+from infinicube_tpu.models.wan.vae3d import VideoVAE, VideoVAEConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class WanPipelineConfig:
+    dit: WanDiTConfig = WanDiTConfig()
+    vae: VideoVAEConfig = VideoVAEConfig()
+    t5: T5Config = T5Config()
+    num_frames: int = 93          # reference cap (buffers[:93])
+    height: int = 480
+    width: int = 832
+    num_steps: int = 50
+    guidance_scale: float = 5.0
+    shift: float = 5.0
+    max_text_len: int = 512
+
+    @property
+    def latent_thw(self):
+        return (1 + (self.num_frames - 1) // 4, self.height // 8,
+                self.width // 8)
+
+
+class WanVideoGenerator:
+    """Holds module defs + params; `generate` is the user entry point."""
+
+    def __init__(self, cfg: WanPipelineConfig = WanPipelineConfig(),
+                 params: dict | None = None, tokenizer=None):
+        self.cfg = cfg
+        self.dit = WanDiT(cfg.dit)
+        self.vae = VideoVAE(cfg.vae)
+        self.t5 = T5Encoder(cfg.t5)
+        self.schedule = FlowMatchSchedule(shift=cfg.shift)
+        self.params = params
+        self.tokenizer = tokenizer
+
+    # ---- initialization ---------------------------------------------------
+    def init_params(self, rng: jax.Array, tiny_shapes: bool = False) -> dict:
+        cfg = self.cfg
+        T, H, W = (3, 8, 8) if tiny_shapes else cfg.latent_thw
+        r1, r2, r3 = jax.random.split(rng, 3)
+        lat = jnp.zeros((1, T, H, W, cfg.dit.in_channels))
+        buf = jnp.zeros((1, T, H, W, cfg.dit.buffer_channels))
+        txt = jnp.zeros((1, 8, cfg.dit.text_dim))
+        dit_p = self.dit.init(r1, lat, jnp.zeros((1,)), txt, buf)
+        t_frames = 1 + 4 * (T - 1)
+        vid = jnp.zeros((1, t_frames, H * 8, W * 8, 3))
+        vae_p = self.vae.init(r2, vid, jax.random.PRNGKey(0))
+        tok = jnp.zeros((1, 8), jnp.int32)
+        t5_p = self.t5.init(r3, tok, jnp.ones((1, 8), bool))
+        return {"dit": dit_p, "vae": vae_p, "t5": t5_p}
+
+    # ---- text -------------------------------------------------------------
+    def encode_text(self, params, prompt: str) -> jnp.ndarray:
+        if self.tokenizer is not None:
+            ids = self.tokenizer(prompt, return_tensors="np",
+                                 padding="max_length", truncation=True,
+                                 max_length=self.cfg.max_text_len)
+            tokens = jnp.asarray(ids["input_ids"], jnp.int32)
+            mask = jnp.asarray(ids["attention_mask"], bool)
+        else:  # deterministic hash tokenization fallback (no-weights mode)
+            words = prompt.split()[: self.cfg.max_text_len]
+            tokens = jnp.asarray([[abs(hash(w)) % self.cfg.t5.vocab_size
+                                   for w in words] or [0]], jnp.int32)
+            mask = jnp.ones_like(tokens, bool)
+        return self.t5.apply(params["t5"], tokens, mask)
+
+    # ---- buffers ----------------------------------------------------------
+    def encode_buffers(self, params, semantic_rgb: jnp.ndarray,
+                       coordinate_rgb: jnp.ndarray) -> jnp.ndarray:
+        """uint8/float [T, H, W, 3] buffer videos -> [1, T', H/8, W/8, 32]."""
+        def norm(v):
+            v = v.astype(jnp.float32)
+            v = v / 127.5 - 1.0 if v.max() > 1.5 else v * 2.0 - 1.0
+            return v[None]
+        enc = partial(self.vae.apply, params["vae"],
+                      method=VideoVAE.encode)
+        sem = enc(norm(semantic_rgb))
+        coo = enc(norm(coordinate_rgb))
+        return jnp.concatenate([sem, coo], axis=-1)
+
+    # ---- sampling ---------------------------------------------------------
+    @partial(jax.jit, static_argnames=("self", "num_steps", "guidance_scale"))
+    def _denoise(self, params, rng, text_emb, null_emb, buffer_latents,
+                 num_steps: int, guidance_scale: float):
+        cfg = self.cfg
+        T, H, W = buffer_latents.shape[1:4]
+        x_T = jax.random.normal(rng, (1, T, H, W, cfg.dit.in_channels))
+        sig = self.schedule.sigmas(num_steps)
+        ts = sig[:-1] * self.schedule.num_train_timesteps
+
+        def model_fn(x, t):
+            xx = jnp.concatenate([x, x])
+            tt = jnp.concatenate([t, t])
+            ctx = jnp.concatenate([text_emb, null_emb])
+            buf = jnp.concatenate([buffer_latents, buffer_latents])
+            out = self.dit.apply(params["dit"], xx, tt, ctx, buf)
+            c, u = jnp.split(out, 2, axis=0)
+            return u + guidance_scale * (c - u)
+
+        def step(x, inp):
+            t, s, s_next = inp
+            v = model_fn(x, jnp.full((1,), t, jnp.float32))
+            return x + (s_next - s) * v, None
+
+        x, _ = jax.lax.scan(step, x_T, (ts, sig[:-1], sig[1:]))
+        return x
+
+    def generate(self, semantic_buffer, coordinate_buffer, prompt: str,
+                 negative_prompt: str = "", seed: int = 0,
+                 num_steps: int | None = None,
+                 guidance_scale: float | None = None,
+                 tiled: bool = False) -> np.ndarray:
+        """Main entry (reference inference.py:164-236). Buffers [T, H, W, 3];
+        returns uint8 frames [T, H, W, 3]."""
+        assert self.params is not None, "load or init params first"
+        cfg = self.cfg
+        params = self.params
+        text = self.encode_text(params, prompt)
+        null = self.encode_text(params, negative_prompt)
+        L = max(text.shape[1], null.shape[1])
+        text = jnp.pad(text, ((0, 0), (0, L - text.shape[1]), (0, 0)))
+        null = jnp.pad(null, ((0, 0), (0, L - null.shape[1]), (0, 0)))
+        buf = self.encode_buffers(params, semantic_buffer, coordinate_buffer)
+        z = self._denoise(params, jax.random.PRNGKey(seed), text, null, buf,
+                          num_steps or cfg.num_steps,
+                          guidance_scale if guidance_scale is not None
+                          else cfg.guidance_scale)
+        if tiled:
+            video = self.vae.apply(params["vae"], z,
+                                   method=VideoVAE.decode_tiled)
+        else:
+            video = self.vae.apply(params["vae"], z, method=VideoVAE.decode)
+        video = np.asarray(jax.device_get(video[0]))
+        return ((video * 0.5 + 0.5).clip(0, 1) * 255).astype(np.uint8)

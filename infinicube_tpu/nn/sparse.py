@@ -1,0 +1,138 @@
+"""Sparse-voxel neural network layers (fvdb.nn replacement, SURVEY.md §2.5).
+
+The fvnn layer set the reference's VAE/GSM UNets are built from —
+SparseConv3d, GroupNorm, Linear, MaxPool, UpsamplingNearest, activations —
+re-designed for the capacity-padded grid core:
+
+- **SparseConv3d** is a gather-GEMM (SURVEY.md §7.1-2): a precomputed
+  27-neighbor index table (`grid.ops.neighbor_indexes`) turns each kernel tap
+  into a gather + [C, F_in] x [F_in, F_out] matmul on the MXU, accumulated
+  over taps with a `lax.scan` (bounded memory; XLA pipelines the gathers
+  against the matmuls). Padding slots carry zeros so absent neighbors
+  contribute nothing — matching fvdb's implicit zero outside the grid.
+- **GroupNormSparse** computes masked per-sample statistics over active
+  voxels only (fvnn.GroupNorm semantics on JaggedTensor).
+- Pooling/upsampling data movement lives in ``grid.ops`` (max_pool /
+  upsample_nearest with optional structure masks).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from infinicube_tpu.grid.grid import Grid
+from infinicube_tpu.grid.ops import neighbor_indexes
+
+
+def gather_neighbor_features(feats: jnp.ndarray, nbr: jnp.ndarray,
+                             tap: int) -> jnp.ndarray:
+    """feats [B, C, F], nbr int32[B, C, K] -> tap features [B, C, F]
+    (zeros where the neighbor is absent)."""
+    idx = nbr[:, :, tap]
+    got = jax.vmap(lambda f, i: f[jnp.clip(i, 0)])(feats, idx)
+    return jnp.where((idx >= 0)[..., None], got, 0.0)
+
+
+class SparseConv3d(nn.Module):
+    """Gather-GEMM sparse convolution on a fixed grid (stride 1).
+
+    Call with (feats [B, C, F], nbr [B, C, K]) where nbr comes from
+    ``neighbor_indexes(grid, kernel_size)`` (compute once per grid, reuse
+    across every conv on that grid)."""
+    features: int
+    kernel_volume: int = 27
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: jnp.ndarray, nbr: jnp.ndarray) -> jnp.ndarray:
+        K = self.kernel_volume
+        F_in = feats.shape[-1]
+        scale = 1.0 / math.sqrt(K * F_in)
+        w = self.param("kernel", nn.initializers.uniform(scale),
+                       (K, F_in, self.features))
+        feats = feats.astype(self.dtype)
+        w = w.astype(self.dtype)
+
+        def body(acc, k):
+            tap = gather_neighbor_features(feats, nbr, k)
+            return acc + jnp.einsum("bcf,fo->bco", tap, w[k]), None
+
+        acc0 = jnp.zeros(feats.shape[:2] + (self.features,), self.dtype)
+        out, _ = jax.lax.scan(body, acc0, jnp.arange(K))
+        if self.use_bias:
+            out = out + self.param("bias", nn.initializers.zeros,
+                                   (self.features,)).astype(self.dtype)
+        return out
+
+
+class GroupNormSparse(nn.Module):
+    """Masked GroupNorm over active voxels (per sample, per group)."""
+    num_groups: int = 32
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, feats: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        B, C, F = feats.shape
+        g = math.gcd(min(self.num_groups, F), F)
+        x = feats.astype(jnp.float32).reshape(B, C, g, F // g)
+        m = mask[:, :, None, None].astype(jnp.float32)
+        n = jnp.maximum(jnp.sum(m, axis=(1, 3), keepdims=True) * (F // g), 1.0)
+        mean = jnp.sum(x * m, axis=(1, 3), keepdims=True) / n
+        var = jnp.sum(jnp.square(x - mean) * m, axis=(1, 3), keepdims=True) / n
+        x = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        x = x.reshape(B, C, F)
+        scale = self.param("scale", nn.initializers.ones, (F,))
+        bias = self.param("bias", nn.initializers.zeros, (F,))
+        out = x * scale + bias
+        return jnp.where(mask[..., None], out, 0.0).astype(feats.dtype)
+
+
+class SparseResBlock(nn.Module):
+    """GroupNorm -> SiLU -> SparseConv x2 with skip (the reference's
+    ConvBlock order-string "gcs" / SparseResBlock, sunet.py:43-207)."""
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, nbr, mask):
+        h = nn.silu(GroupNormSparse()(feats, mask))
+        h = SparseConv3d(self.features, dtype=self.dtype, name="conv1")(h, nbr)
+        h = nn.silu(GroupNormSparse()(h, mask))
+        h = SparseConv3d(self.features, dtype=self.dtype, name="conv2")(h, nbr)
+        if feats.shape[-1] != self.features:
+            feats = nn.Dense(self.features, dtype=self.dtype,
+                             name="skip")(feats)
+        out = feats + h
+        return jnp.where(mask[..., None], out, 0.0)
+
+
+def sparse_attention(feats: jnp.ndarray, mask: jnp.ndarray, num_heads: int,
+                     qkv: Callable, proj: Callable) -> jnp.ndarray:
+    """Masked per-sample full self-attention over active voxels (the
+    reference's per-batch flash AttentionBlock, sunet.py:210-266).
+
+    qkv/proj are Dense applications supplied by the caller (so parameters
+    live in the calling module)."""
+    B, C, F = feats.shape
+    h = qkv(feats)                       # [B, C, 3F]
+    q, k, v = jnp.split(h.reshape(B, C, 3, num_heads, F // num_heads), 3,
+                        axis=2)
+    q, k, v = q.squeeze(2), k.squeeze(2), v.squeeze(2)
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    logits = jnp.einsum("bqhc,bkhc->bhqk", q, k).astype(jnp.float32) * scale
+    logits = jnp.where(mask[:, None, None, :], logits, -1e9)
+    attn = jax.nn.softmax(logits, axis=-1).astype(feats.dtype)
+    out = jnp.einsum("bhqk,bkhc->bqhc", attn, v).reshape(B, C, F)
+    out = proj(out)
+    return jnp.where(mask[..., None], feats + out, 0.0)
+
+
+def compute_neighbor_maps(grids: list[Grid], kernel_size: int = 3):
+    """Precompute neighbor tables for a grid pyramid (one per level)."""
+    return [neighbor_indexes(g, kernel_size) for g in grids]

@@ -16,6 +16,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The env var alone is not honored when an accelerator PJRT plugin is
+# present; the config update forces the CPU backend for the suite.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 # Persistent compile cache: the suite is compile-bound on CPU otherwise.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")

@@ -1,0 +1,112 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from infinicube_tpu.models.vae import (
+    SparseVAEConfig, SparseStructureVAE, build_hash_tree)
+from infinicube_tpu.models.vae.loss import VAELossConfig, vae_loss
+from infinicube_tpu.grid.ops import index_map
+
+
+def tiny_cfg():
+    return SparseVAEConfig(
+        sem_embed_dim=8, c_dim=8, f_maps=8,
+        pooling_factors=((2, 2, 1), (2, 2, 2)),
+        latent_channels=2, neck_dims=(4, 4, 4), neck_ijk_min=(-2, -2, -2),
+        capacities=(512, 256, 128),
+        finest_voxel_size=(0.2, 0.2, 0.2), origin=(0.1, 0.1, 0.1))
+
+
+def make_inputs(cfg, b=2, n=200, seed=0):
+    rng = np.random.default_rng(seed)
+    # points inside the crop covered by the 4^3 neck at latent vs (.8,.8,.4):
+    # world x,y in [-1.6,1.6), z in [-0.8, 0.8)
+    pts = np.stack([rng.uniform(-1.5, 1.5, (b, n)), rng.uniform(-1.5, 1.5, (b, n)),
+                    rng.uniform(-0.7, 0.7, (b, n))], -1).astype(np.float32)
+    sem_pts = rng.integers(0, 23, (b, n)).astype(np.int32)
+    grids = build_hash_tree(cfg, jnp.asarray(pts), jnp.ones((b, n), bool))
+    # per-voxel semantics on finest grid
+    from infinicube_tpu.grid.ops import majority_label
+    sem = majority_label(grids[0], jnp.asarray(pts), jnp.asarray(sem_pts),
+                         jnp.ones((b, n), bool), 23)
+    return grids, sem
+
+
+def test_hash_tree_levels_align():
+    cfg = tiny_cfg()
+    grids, _ = make_inputs(cfg)
+    assert len(grids) == 3
+    # every finest voxel has an ancestor at each level
+    f01 = jnp.asarray(cfg.pooling_factors[0])
+    parent_ijk = jnp.floor_divide(grids[0].ijk, f01)
+    pidx = grids[1].ijk_to_index(parent_ijk, grids[0].mask)
+    assert bool(jnp.all(pidx[grids[0].mask] >= 0))
+    # voxel sizes compose
+    np.testing.assert_allclose(np.asarray(grids[2].voxel_size), [0.8, 0.8, 0.4],
+                               atol=1e-6)
+
+
+def test_vae_forward_guided_and_loss():
+    cfg = tiny_cfg()
+    grids, sem = make_inputs(cfg)
+    model = SparseStructureVAE(cfg)
+    rng = jax.random.PRNGKey(0)
+    params = model.init(rng, grids, sem, rng)
+    out = model.apply(params, grids, sem, rng)
+    assert out["mu"].shape == (2, 4, 4, 4, cfg.latent_channels)
+    # guided decode returns struct logits for every level transition
+    assert len(out["struct"]) == cfg.tree_depth
+    # decoded grid equals GT finest grid (teacher forcing)
+    gt_n = int(grids[0].total_voxels)
+    dec_n = int(out["grid"].total_voxels)
+    assert dec_n == gt_n
+    loss, metrics = vae_loss(VAELossConfig(), out, grids[0], sem)
+    assert np.isfinite(float(loss))
+    assert 0 <= float(metrics["sem_acc"]) <= 1
+
+
+def test_vae_grads_flow():
+    cfg = tiny_cfg()
+    grids, sem = make_inputs(cfg, b=1, n=80)
+    model = SparseStructureVAE(cfg)
+    rng = jax.random.PRNGKey(0)
+    params = model.init(rng, grids, sem, rng)
+
+    def loss_fn(p):
+        out = model.apply(p, grids, sem, rng)
+        l, _ = vae_loss(VAELossConfig(), out, grids[0], sem)
+        return l
+
+    g = jax.grad(loss_fn)(params)
+    total = jax.tree.reduce(lambda a, b: a + float(jnp.sum(jnp.abs(b))), g, 0.0)
+    assert np.isfinite(total) and total > 0
+
+
+def test_vae_unguided_decode_shapes():
+    cfg = tiny_cfg()
+    grids, sem = make_inputs(cfg, b=1, n=80)
+    model = SparseStructureVAE(cfg)
+    rng = jax.random.PRNGKey(0)
+    params = model.init(rng, grids, sem, rng)
+    z = jax.random.normal(rng, (1, 4, 4, 4, cfg.latent_channels))
+    dec = model.apply(params, z, None, method=SparseStructureVAE.decode)
+    assert dec["grid"].capacity == cfg.capacities[0]
+    assert dec["semantic_logits"].shape[-1] == 23
+    # structure is data-dependent but the program must be shape-static
+    assert dec["grid"].ijk.shape == (1, cfg.capacities[0], 3)
+
+
+def test_encode_is_permutation_invariant_to_point_order():
+    cfg = tiny_cfg()
+    rng = np.random.default_rng(3)
+    pts = np.stack([rng.uniform(-1.5, 1.5, (1, 60)),
+                    rng.uniform(-1.5, 1.5, (1, 60)),
+                    rng.uniform(-0.7, 0.7, (1, 60))], -1).astype(np.float32)
+    perm = rng.permutation(60)
+    grids_a = build_hash_tree(cfg, jnp.asarray(pts), jnp.ones((1, 60), bool))
+    grids_b = build_hash_tree(cfg, jnp.asarray(pts[:, perm]),
+                              jnp.ones((1, 60), bool))
+    # same voxel sets in the same sorted order
+    np.testing.assert_array_equal(np.asarray(grids_a[0].keys),
+                                  np.asarray(grids_b[0].keys))
