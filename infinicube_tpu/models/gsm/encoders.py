@@ -1,0 +1,104 @@
+"""GSM image encoders.
+
+Mirror of the reference's UnifiedEncoder + encoder modules
+(/root/reference/infinicube/voxelgen/modules/gsm_modules/encoder/):
+a ModuleDict of per-frame image encoders (release: conv + frozen DAv2) whose
+features are concatenated per pixel, plus the 4-channel GSM input-mask
+semantics (unified_encoder.py:61-126):
+  ch0: foreground (0 = sky)  ch1: non-dynamic  ch2: hood/pad crop
+  ch3: foreground from voxel grid
+sky_mask = ch0 == 0; effective_mask = ch1 * ch2.
+
+The DAv2/DINO towers are weight-loaded ViTs in the reference; here a generic
+patch ViT stands in (weights convertible later) and the release-critical conv
+path is exact."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class ConvEncoder(nn.Module):
+    """Small residual CNN 3->width (reference conv_encoder.py:23)."""
+    width: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, images):  # [B, H, W, 3]
+        x = nn.Conv(self.width, (3, 3), dtype=self.dtype)(images)
+        for i in range(2):
+            h = nn.silu(nn.GroupNorm(num_groups=8, dtype=jnp.float32)(x))
+            h = nn.Conv(self.width, (3, 3), dtype=self.dtype,
+                        name=f"res{i}_c1")(h)
+            h = nn.silu(nn.GroupNorm(num_groups=8, dtype=jnp.float32)(h))
+            h = nn.Conv(self.width, (3, 3), dtype=self.dtype,
+                        name=f"res{i}_c2")(h)
+            x = x + h
+        return x
+
+
+class PatchViTEncoder(nn.Module):
+    """Generic patch ViT feature tower (stand-in for the frozen
+    Depth-Anything-V2 / DINOv2 encoders, dav2_encoder.py:35)."""
+    width: int = 128
+    patch: int = 14
+    depth: int = 4
+    num_heads: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, images):
+        B, H, W, _ = images.shape
+        ph, pw = H // self.patch, W // self.patch
+        x = nn.Conv(self.width, (self.patch, self.patch),
+                    strides=(self.patch, self.patch), dtype=self.dtype)(images)
+        x = x.reshape(B, ph * pw, self.width)
+        pos = self.param("pos", nn.initializers.normal(0.02),
+                         (1, ph * pw, self.width))
+        x = x + pos
+        for i in range(self.depth):
+            h = nn.LayerNorm()(x)
+            h = nn.SelfAttention(num_heads=self.num_heads,
+                                 dtype=self.dtype, name=f"attn{i}")(h)
+            x = x + h
+            h = nn.LayerNorm()(x)
+            h = nn.Dense(4 * self.width, dtype=self.dtype)(h)
+            h = nn.Dense(self.width, dtype=self.dtype)(nn.gelu(h))
+            x = x + h
+        x = x.reshape(B, ph, pw, self.width)
+        # upsample back to pixel grid
+        import jax
+        return jax.image.resize(x, (B, H, W, self.width), "bilinear")
+
+
+@dataclasses.dataclass(frozen=True)
+class UnifiedEncoderConfig:
+    encoders: Sequence[str] = ("conv",)     # + "vit" for the dav2 stand-in
+    conv_width: int = 64
+    vit_width: int = 128
+
+
+class UnifiedEncoder(nn.Module):
+    cfg: UnifiedEncoderConfig = UnifiedEncoderConfig()
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray, masks: jnp.ndarray):
+        """images f32[B, V, H, W, 3] in [0,1]; masks f32[B, V, H, W, 4].
+        Returns dict: features [B, V, H, W, F], sky_mask, effective_mask,
+        original_rgb."""
+        B, V, H, W, _ = images.shape
+        flat = images.reshape(B * V, H, W, 3)
+        feats = []
+        if "conv" in self.cfg.encoders:
+            feats.append(ConvEncoder(self.cfg.conv_width, name="conv")(flat))
+        if "vit" in self.cfg.encoders:
+            feats.append(PatchViTEncoder(self.cfg.vit_width, name="vit")(flat))
+        f = jnp.concatenate(feats, axis=-1).reshape(B, V, H, W, -1)
+        sky_mask = masks[..., 0] == 0
+        effective = masks[..., 1] * masks[..., 2]
+        return {"features": f, "sky_mask": sky_mask,
+                "effective_mask": effective, "original_rgb": images}

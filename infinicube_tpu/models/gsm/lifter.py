@@ -1,0 +1,101 @@
+"""Lifter + visibility utilities for the GSM voxel branch.
+
+Mirrors the reference's one-voxel-per-ray feature unprojection
+(/root/reference/infinicube/voxelgen/modules/gsm_modules/backbone/
+voxel_branch.py:951-1075: ``voxels_along_rays(max_voxels=1)`` + scatter_mean)
+and the occluded/visible split (``get_occ_front_voxel``,
+voxelgen/utils/voxel_util.py:432-516): both become first-hit DDA raycasts
+against the grid's dense occupancy block, reusing one occupancy densification
+for all cameras."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from infinicube_tpu.camera import projection as proj
+from infinicube_tpu.grid.grid import Grid
+from infinicube_tpu.grid.ops import occupancy_dense
+from infinicube_tpu.ops.raycast import dda_first_hit
+
+
+def _hit_indices(grid: Grid, occ, ijk_min, ray_o, ray_d):
+    hit = dda_first_hit(occ, ray_o, ray_d, grid.voxel_size, grid.origin,
+                        ijk_min)
+    idx = grid.ijk_to_index(hit.ijk[None], hit.hit[None])[0]
+    return jnp.where(hit.hit, idx, -1)
+
+
+def lift_features(grid: Grid, feats: jnp.ndarray, Ks: jnp.ndarray,
+                  cam_to_worlds: jnp.ndarray, ijk_min, dense_dims):
+    """Unproject per-pixel features onto first-hit voxels, averaged over all
+    rays landing in a voxel (scatter_mean). Batch size 1 grid.
+
+    feats f32[V, H, W, F]; Ks f32[V, 3, 3]; cam_to_worlds f32[V, 4, 4].
+    Returns f32[1, C, F] voxel features."""
+    V, H, W, F = feats.shape
+    occ = occupancy_dense(grid, ijk_min, dense_dims)[0]
+    C = grid.capacity
+
+    def per_view(K, pose, f):
+        ro, rd = proj.posed_rays_from_intrinsics(K, pose, (H, W))
+        idx = _hit_indices(grid, occ, ijk_min, ro.reshape(-1, 3),
+                           rd.reshape(-1, 3))
+        fl = f.reshape(-1, F)
+        safe = jnp.where(idx >= 0, idx, C)
+        s = jnp.zeros((C + 1, F)).at[safe].add(
+            jnp.where((idx >= 0)[:, None], fl, 0.0))
+        cnt = jnp.zeros((C + 1,)).at[safe].add((idx >= 0).astype(jnp.float32))
+        return s[:C], cnt[:C]
+
+    sums, counts = jax.vmap(per_view)(Ks, cam_to_worlds, feats)
+    s = sums.sum(0)
+    c = counts.sum(0)
+    out = s / jnp.maximum(c[:, None], 1.0)
+    return jnp.where((grid.mask[0] & (c > 0))[None, :, None], out[None], 0.0)
+
+
+def visible_voxel_mask(grid: Grid, Ks: jnp.ndarray, cam_to_worlds: jnp.ndarray,
+                       ijk_min, dense_dims, ray_hw: tuple[int, int] = (192, 320)
+                       ) -> jnp.ndarray:
+    """bool[1, C]: voxels hit first by any camera ray (the reference's
+    occ-front visible set, voxel_util.py:432 with max_height=2400 pseudo
+    resolution — here a configurable raycast resolution)."""
+    occ = occupancy_dense(grid, ijk_min, dense_dims)[0]
+
+    def per_view(K, pose):
+        h, w = ray_hw
+        Ks_scaled = K.at[0].mul(w / (2.0 * K[0, 2])).at[1].mul(
+            h / (2.0 * K[1, 2]))
+        ro, rd = proj.posed_rays_from_intrinsics(Ks_scaled, pose, ray_hw)
+        idx = _hit_indices(grid, occ, ijk_min, ro.reshape(-1, 3),
+                           rd.reshape(-1, 3))
+        vis = jnp.zeros((grid.capacity + 1,), bool).at[
+            jnp.where(idx >= 0, idx, grid.capacity)].set(True)
+        return vis[:grid.capacity]
+
+    vis = jax.vmap(per_view)(Ks, cam_to_worlds).any(0)
+    return (vis & grid.mask[0])[None]
+
+
+def sample_image_features(points: jnp.ndarray, feats: jnp.ndarray,
+                          Ks: jnp.ndarray, cam_to_worlds: jnp.ndarray):
+    """Project world points into every view and max-pool bilinear features
+    (the hybrid-head multi-view sampling, voxel_branch.py:806-848).
+
+    points f32[P, 3]; feats f32[V, H, W, F] -> f32[P, F]."""
+    V, H, W, F = feats.shape
+
+    def per_view(K, pose, f):
+        uv, z, valid = proj.project_points(points, pose, K, (H, W))
+        u = jnp.clip(uv[:, 0], 0.0, W - 1.001)
+        v = jnp.clip(uv[:, 1], 0.0, H - 1.001)
+        u0, v0 = jnp.floor(u).astype(jnp.int32), jnp.floor(v).astype(jnp.int32)
+        du, dv = (u - u0)[:, None], (v - v0)[:, None]
+        g = (f[v0, u0] * (1 - du) * (1 - dv) + f[v0, u0 + 1] * du * (1 - dv) +
+             f[v0 + 1, u0] * (1 - du) * dv + f[v0 + 1, u0 + 1] * du * dv)
+        return jnp.where(valid[:, None], g, -jnp.inf)
+
+    per = jax.vmap(per_view)(Ks, cam_to_worlds, feats)   # [V, P, F]
+    out = jnp.max(per, axis=0)
+    return jnp.where(jnp.isfinite(out), out, 0.0)

@@ -1,0 +1,59 @@
+"""GSM RGB renderer: rasterize merged gaussians per view + sky composite.
+
+Mirror of the reference's RGBRenderer
+(/root/reference/infinicube/voxelgen/modules/gsm_modules/renderer/
+rgb_renderer.py:51-169): per target view build the camera, rasterize with
+RGB+ED, composite ``render + (1 - alpha) * sky``. The reference chunks >=20
+views to bound VRAM (rgb_renderer.py:98-137); here views are a lax.map."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from infinicube_tpu.camera.conventions import invert_pose
+from infinicube_tpu.camera import projection as proj
+from infinicube_tpu.ops.gsplat import project_gaussians, rasterize
+
+
+def merge_gaussians(*sets):
+    """Concatenate flat gaussian dicts (means/scales/quats/opacities/colors/
+    valid)."""
+    keys = ("means", "scales", "quats", "opacities", "colors", "valid")
+    out = {}
+    for k in keys:
+        parts = []
+        for s in sets:
+            v = s[k]
+            parts.append(v.reshape((-1,) + v.shape[s["means"].ndim - 1:])
+                         if k in ("means", "scales", "quats", "colors")
+                         else v.reshape(-1))
+        out[k] = jnp.concatenate(parts, axis=0)
+    return out
+
+
+def render_views(gaussians: dict, Ks: jnp.ndarray, cam_to_worlds: jnp.ndarray,
+                 image_hw: tuple[int, int],
+                 sky_images: jnp.ndarray | None = None,
+                 tile_capacity: int = 256):
+    """gaussians: flat dict; Ks [V, 3, 3]; cam_to_worlds [V, 4, 4];
+    sky_images f32[V, H, W, 3] precomputed backgrounds (flax params cannot be
+    created inside the mapped body, so the sky is sampled by the caller).
+    Returns dict rgb [V,H,W,3], alpha [V,H,W], depth [V,H,W]."""
+    op = jnp.where(gaussians["valid"], gaussians["opacities"], 0.0)
+    if sky_images is None:
+        sky_images = jnp.zeros((Ks.shape[0],) + image_hw + (3,))
+
+    def one_view(args):
+        K, pose, sky = args
+        viewmat = invert_pose(pose)
+        p = project_gaussians(gaussians["means"], gaussians["quats"],
+                              gaussians["scales"], viewmat, K, image_hw)
+        p = p._replace(valid=p.valid & gaussians["valid"])
+        color, alpha, depth = rasterize(p, op, gaussians["colors"], image_hw,
+                                        tile_capacity=tile_capacity)
+        color = color + (1.0 - alpha)[..., None] * sky
+        return color, alpha, depth
+
+    rgb, alpha, depth = jax.lax.map(one_view, (Ks, cam_to_worlds, sky_images))
+    return {"rgb": rgb, "alpha": alpha, "depth": depth}
