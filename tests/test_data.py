@@ -1,0 +1,135 @@
+import json
+import numpy as np
+import pytest
+
+from infinicube_tpu.data.codec import (
+    decode_member, decode_sample, encode_member, group_samples)
+from infinicube_tpu.data.specs import DatasetSpec, list_collate, pad_collate
+from infinicube_tpu.data.tario import TarReader, TarWriter, get_sample
+from infinicube_tpu.data.waymo_dataset import (
+    WaymoClipDataset, WaymoDatasetConfig)
+from infinicube_tpu.utils.gaussian_io import (
+    gaussians_to_dict, load_ply, load_splat, save_ply, save_splat)
+
+
+def test_tar_roundtrip_native(tmp_path):
+    p = tmp_path / "shard.tar"
+    payloads = {"000000.npy": encode_member("npy", np.arange(5)),
+                "000000.json": encode_member("json", {"a": 1}),
+                "000001.npy": encode_member("npy", np.ones((2, 3)))}
+    with TarWriter(p) as w:
+        for k, v in payloads.items():
+            w.add(k, v)
+    with TarReader(p) as r:
+        names = r.names()
+        assert set(names) == set(payloads)
+        for k, v in payloads.items():
+            assert r.read(k) == v
+        assert "000000.npy" in r and "zzz" not in r
+    # stdlib tarfile can read what the native writer wrote
+    import tarfile
+    with tarfile.open(p) as tf:
+        assert set(m.name for m in tf.getmembers()) == set(payloads)
+    s = get_sample(p, "000000")
+    assert set(s) == {"npy", "json"}
+
+
+def test_codec_uint16_png_and_npz():
+    depth = (np.random.default_rng(0).uniform(0, 600, (16, 24)) * 100)
+    depth = depth.astype(np.uint16)
+    data = encode_member("png", depth)
+    back = decode_member("png", data)
+    np.testing.assert_array_equal(np.asarray(back, np.uint16), depth)
+    d = {"xyz": np.ones((4, 3), np.float32), "semantic": np.arange(4)}
+    back = decode_member("npz", encode_member("npz", d))
+    np.testing.assert_array_equal(back["xyz"], d["xyz"])
+    groups = group_samples(["a.npy", "a.json", "b.npy"])
+    assert set(groups) == {"a", "b"} and len(groups["a"]) == 2
+
+
+def test_collate():
+    s1 = {DatasetSpec.INPUT_PC: np.ones((5, 3)), DatasetSpec.CLASS: 1}
+    s2 = {DatasetSpec.INPUT_PC: np.ones((3, 3)), DatasetSpec.CLASS: 2}
+    lc = list_collate([s1, s2])
+    assert len(lc[DatasetSpec.INPUT_PC]) == 2
+    pc = pad_collate([s1, s2])
+    assert pc["input_pc"].shape == (2, 5, 3)
+    assert pc["input_pc_mask"].sum() == 8
+    assert pc["class"] == [1, 2]
+
+
+def make_clip(tmp_path, scene="clip0", frames=3):
+    rng = np.random.default_rng(0)
+    for attr in ("pose", "intrinsic", "pc", "map", "static_object_info"):
+        with TarWriter(tmp_path / attr / f"{scene}.tar") as w:
+            for f in range(frames):
+                if attr == "pose":
+                    T = np.eye(4)
+                    # OpenCV camera: forward +z -> world +x
+                    T[:3, :3] = np.array([[0, 0, 1], [-1, 0, 0], [0, -1, 0]]).T
+                    T[:3, 3] = [f * 2.0, 0, 1.5]
+                    w.add(f"{f:06d}.npy", encode_member("npy", T))
+                elif attr == "intrinsic":
+                    w.add(f"{f:06d}.npy", encode_member(
+                        "npy", np.array([[100.0, 0, 40], [0, 100, 30],
+                                         [0, 0, 1]])))
+                elif attr == "pc":
+                    pts = rng.uniform(-20, 20, (500, 3))
+                    w.add(f"{f:06d}.npz", encode_member(
+                        "npz", {"xyz": pts.astype(np.float32),
+                                "semantic": rng.integers(0, 23, 500)}))
+                elif attr == "map":
+                    w.add(f"{f:06d}.npz", encode_member(
+                        "npz", {"road_edge": rng.uniform(-20, 20, (50, 3))
+                                .astype(np.float32),
+                                "road_line": np.zeros((0, 3), np.float32),
+                                "road_surface": rng.uniform(-20, 20, (80, 3))
+                                .astype(np.float32)}))
+                else:
+                    info = {"obj1": {
+                        "object_to_world": np.eye(4).tolist(),
+                        "object_lwh": [4.5, 2.0, 1.6],
+                        "object_is_moving": False,
+                        "object_id_int": 1}}
+                    w.add(f"{f:06d}.json", encode_member("json", info))
+
+
+def test_waymo_dataset_iteration(tmp_path):
+    make_clip(tmp_path)
+    cfg = WaymoDatasetConfig(root=str(tmp_path), frame_start=0, frame_end=2,
+                             samples_per_shard=2)
+    ds = WaymoClipDataset(cfg, host_index=0, num_hosts=1)
+    samples = list(ds)
+    assert len(samples) == 2
+    s = samples[0]
+    pc = s[DatasetSpec.INPUT_PC]
+    assert pc.ndim == 2 and pc.shape[1] == 3
+    lo, hi = s[DatasetSpec.GRID_CROP_RANGE]
+    assert (pc >= lo - 1e-4).all() and (pc <= hi + 1e-4).all()
+    assert set(s[DatasetSpec.MAPS_3D]) == {"road_edge", "road_line",
+                                           "road_surface"}
+    assert s[DatasetSpec.BOXES_3D]["poses"].shape[-2:] == (4, 4)
+    # host sharding splits scenes
+    ds0 = WaymoClipDataset(cfg, host_index=0, num_hosts=2)
+    ds1 = WaymoClipDataset(cfg, host_index=1, num_hosts=2)
+    assert len(ds0.scenes) + len(ds1.scenes) == 1
+
+
+def test_gaussian_io_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    n = 20
+    g = gaussians_to_dict(rng.normal(size=(n, 3)),
+                          rng.uniform(0.01, 0.5, (n, 3)),
+                          rng.normal(size=(n, 4)),
+                          rng.uniform(0.1, 0.9, n),
+                          rng.uniform(0, 1, (n, 3)))
+    save_splat(tmp_path / "g.splat", g)
+    back = load_splat(tmp_path / "g.splat")
+    np.testing.assert_allclose(back["means"], g["means"], atol=1e-6)
+    np.testing.assert_allclose(back["opacities"], g["opacities"], atol=0.01)
+    save_ply(tmp_path / "g.ply", g)
+    back = load_ply(tmp_path / "g.ply")
+    np.testing.assert_allclose(back["means"], g["means"], atol=1e-5)
+    np.testing.assert_allclose(back["scales"], g["scales"], rtol=1e-4)
+    np.testing.assert_allclose(back["opacities"], g["opacities"], atol=1e-4)
+    np.testing.assert_allclose(back["colors"], g["colors"], atol=1e-4)
