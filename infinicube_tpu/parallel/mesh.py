@@ -51,9 +51,19 @@ def replicate(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a host batch pytree with the leading dim sharded over ``data``."""
+    """Place a host batch pytree with the leading dim sharded over ``data``.
+    Leaves whose leading dim does not divide the data axis (or scalars) are
+    replicated instead."""
     sh = data_parallel_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    rep = replicate(mesh)
+    n = mesh.shape["data"]
+
+    def put(x):
+        divisible = hasattr(x, "shape") and x.ndim > 0 and \
+            x.shape[0] % n == 0
+        return jax.device_put(x, sh if divisible else rep)
+
+    return jax.tree.map(put, batch)
 
 
 def shard_params_replicated(mesh: Mesh, params):

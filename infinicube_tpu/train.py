@@ -1,0 +1,178 @@
+"""Training CLI driver.
+
+Mirror of the reference's train.py
+(/root/reference/infinicube/voxelgen/train.py:162-519): YAML config with
+include/interpolation + ``--k.e.y v`` / ``--exec`` overrides
+(ConfigArgumentParser), model selection by ``model:`` key, logger selection,
+checkpoint auto-resume. The PL/DDP machinery collapses into one jitted SPMD
+step over the global mesh (data-parallel by sharding; no process forking —
+multi-host runs call ``jax.distributed.initialize`` once).
+
+Usage:
+  python -m infinicube_tpu.train configs/train_diffusion.yaml \
+      --name myrun --exec max_steps=10000
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from infinicube_tpu.config import Config, ConfigArgumentParser
+from infinicube_tpu.parallel.mesh import MeshConfig, make_mesh
+from infinicube_tpu.training.logging import make_logger
+from infinicube_tpu.training.loop import LoopConfig, train
+from infinicube_tpu.training.state import TrainConfig
+
+
+def build_diffusion(cfg: Config):
+    from infinicube_tpu.models.diffusion.model import (
+        CondCubes, DiffusionConfig, VoxelDiffusion)
+    dc = DiffusionConfig(**cfg.get_path("diffusion", {}))
+    model = VoxelDiffusion(dc)
+    params = model.init(jax.random.PRNGKey(cfg.get_path("seed", 0)))
+
+    def loss_fn(p, rng, batch):
+        latents, cond = batch
+        return model.train_loss(p, rng, latents, cond)
+
+    def synthetic_batches():
+        # synthetic latents stream for smoke training without data
+        rng = np.random.default_rng(0)
+        B = cfg.get_path("batch_size", 2)
+        D, H, W = dc.cube_dims
+        while True:
+            lat = jnp.asarray(rng.normal(size=(B, D, H, W,
+                                               dc.latent_channels)),
+                              jnp.float32)
+            yield lat, CondCubes.null(B, dc)
+
+    return params, loss_fn, synthetic_batches()
+
+
+def build_vae(cfg: Config):
+    from infinicube_tpu.models.vae import (
+        SparseStructureVAE, SparseVAEConfig, build_hash_tree)
+    from infinicube_tpu.models.vae.loss import VAELossConfig, vae_loss
+    from infinicube_tpu.grid.ops import majority_label
+    vc = SparseVAEConfig(**cfg.get_path("vae", {}))
+    model = SparseStructureVAE(vc)
+    lcfg = VAELossConfig(**cfg.get_path("vae_loss", {}))
+
+    rng0 = np.random.default_rng(0)
+    B, N = cfg.get_path("batch_size", 1), cfg.get_path("points_per_sample", 2048)
+
+    def make_batch():
+        pts = jnp.asarray(rng0.uniform(-5, 5, (B, N, 3)), jnp.float32)
+        mask = jnp.ones((B, N), bool)
+        grids = build_hash_tree(vc, pts, mask)
+        sem = majority_label(grids[0], pts,
+                             jnp.asarray(rng0.integers(0, vc.num_semantic,
+                                                       (B, N)), jnp.int32),
+                             mask, vc.num_semantic)
+        return grids, sem
+
+    grids0, sem0 = make_batch()
+    params = model.init(jax.random.PRNGKey(0), grids0, sem0,
+                        jax.random.PRNGKey(1))
+
+    def loss_fn(p, rng, batch):
+        grids, sem = batch
+        out = model.apply(p, grids, sem, rng)
+        return vae_loss(lcfg, out, grids[0], sem)
+
+    def batches():
+        while True:
+            yield make_batch()
+
+    return params, loss_fn, batches()
+
+
+def build_gsm(cfg: Config):
+    from infinicube_tpu.models.gsm.loss import GSMLossConfig, gsm_loss
+    from infinicube_tpu.models.gsm.model import GSM, GSMConfig
+    from infinicube_tpu.grid.build import grid_from_points
+    gc = GSMConfig()
+    model = GSM(gc)
+    lcfg = GSMLossConfig(**cfg.get_path("gsm_loss", {}))
+    rng0 = np.random.default_rng(0)
+
+    def make_batch():
+        pts = jnp.asarray(rng0.uniform(0, 20, (1, 2000, 3)), jnp.float32)
+        grid = grid_from_points(pts, jnp.ones((1, 2000), bool), 0.5, 0.25,
+                                capacity=4096)
+        V, h, w = 2, 64, 96
+        T = np.tile(np.eye(4, dtype=np.float32), (V, 1, 1))
+        T[:, :3, 0] = [0, -1, 0]
+        T[:, :3, 1] = [0, 0, -1]
+        T[:, :3, 2] = [1, 0, 0]
+        T[:, :3, 3] = [0, 0, 2]
+        K = np.array([[80.0, 0, w / 2], [0, 80, h / 2], [0, 0, 1]],
+                     np.float32)
+        return {
+            "grid": grid,
+            "images": jnp.asarray(rng0.uniform(size=(V, h, w, 3)),
+                                  jnp.float32),
+            "masks": jnp.ones((V, h, w, 4), jnp.float32),
+            "Ks": jnp.asarray(np.stack([K, K])),
+            "cam_to_worlds": jnp.asarray(T),
+            "depth_prior": jnp.zeros((V, h, w, 1)),
+        }
+
+    batch0 = make_batch()
+    params = model.init(jax.random.PRNGKey(0), batch0)
+
+    def loss_fn(p, rng, batch):
+        out = model.apply(p, batch)
+        return gsm_loss(lcfg, out["render"], batch["images"],
+                        jnp.ones(batch["images"].shape[:3], bool),
+                        out["sky_mask"], gaussians=out["gaussians"])
+
+    def batches():
+        while True:
+            yield make_batch()
+
+    return params, loss_fn, batches()
+
+
+BUILDERS = {"diffusion": build_diffusion, "vae": build_vae, "gsm": build_gsm}
+
+
+def main(argv=None):
+    parser = ConfigArgumentParser()
+    parser.add_argument("--name", type=str, default="run")
+    parser.add_argument("--logger", type=str, default="jsonl")
+    parser.add_argument("--logdir", type=str, default="logs")
+    cfg = parser.parse_config(argv)
+    model_kind = cfg.get_path("model", "diffusion")
+    if model_kind not in BUILDERS:
+        raise SystemExit(f"unknown model '{model_kind}'")
+    params, loss_fn, batches = BUILDERS[model_kind](cfg)
+    mesh = make_mesh(MeshConfig(model=cfg.get_path("mesh.model", 1),
+                                seq=cfg.get_path("mesh.seq", 1)))
+    loop_cfg = LoopConfig(
+        max_steps=cfg.get_path("max_steps", 1000),
+        log_every=cfg.get_path("log_every", 50),
+        ckpt_every=cfg.get_path("ckpt_every", 50),
+        ckpt_dir=cfg.get_path("ckpt_dir", f"checkpoints/{cfg.get_path('name')}"))
+    train_cfg = TrainConfig(
+        learning_rate=cfg.get_path("learning_rate.init", 5e-5),
+        grad_clip_value=cfg.get_path("grad_clip", 0.5),
+        weight_decay=cfg.get_path("weight_decay", 0.0),
+        ema_decay=cfg.get_path("ema_decay", 0.9999),
+        use_ema=cfg.get_path("ema", True))
+    logger = make_logger(cfg.get_path("logger", "jsonl"),
+                         cfg.get_path("logdir", "logs"),
+                         cfg.get_path("name", "run"))
+    state = train(loop_cfg, train_cfg, params, loss_fn, batches,
+                  jax.random.PRNGKey(cfg.get_path("seed", 0)), logger=logger,
+                  mesh=mesh)
+    print(f"[train] finished at step {int(state.step)} "
+          f"({int(state.num_nan_skips)} NaN-skipped steps)")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,118 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from infinicube_tpu.config import Config, load_config
+from infinicube_tpu.training.checkpoint import CheckpointManager, partial_restore
+from infinicube_tpu.training.loop import LoopConfig, LossMeter, train
+from infinicube_tpu.training.state import TrainConfig, TrainState, make_train_step
+from infinicube_tpu.parallel.mesh import MeshConfig, make_mesh
+
+
+def test_config_includes_interpolation_overrides(tmp_path):
+    (tmp_path / "base.yaml").write_text(
+        "a: 1\nnested:\n  b: 2\n  c: hello\n")
+    (tmp_path / "main.yaml").write_text(
+        "include_configs:\n  - base.yaml\nnested:\n  b: 3\n"
+        "d: ${nested.c}_world\ne: ${a}\n")
+    cfg = load_config(tmp_path / "main.yaml", overrides=["nested.c=bye",
+                                                         "f.g=[1,2]"])
+    assert cfg.a == 1 and cfg.nested.b == 3
+    assert cfg.d == "hello_world"      # interpolation before overrides
+    assert cfg.e == 1                  # whole-value interpolation keeps type
+    assert cfg.nested.c == "bye"
+    assert cfg.f.g == [1, 2]
+
+
+def test_train_step_nan_guard_and_ema():
+    cfg = TrainConfig(learning_rate=0.1, use_ema=True, grad_clip_value=1.0)
+    params = {"w": jnp.array([1.0, 2.0])}
+
+    def loss_fn(p, rng, batch):
+        loss = jnp.sum(p["w"] * batch)
+        return loss, {}
+
+    step = jax.jit(make_train_step(cfg, loss_fn))
+    state = TrainState.create(cfg, params)
+    state, m = step(state, jax.random.PRNGKey(0), jnp.array([1.0, 1.0]))
+    assert float(m["grad_finite"]) == 1.0
+    w_after = np.asarray(state.params["w"])
+    assert (w_after < np.array([1.0, 2.0])).all()
+    # NaN batch: update skipped, counter incremented
+    state2, m2 = step(state, jax.random.PRNGKey(0),
+                      jnp.array([jnp.nan, 1.0]))
+    assert float(m2["grad_finite"]) == 0.0
+    np.testing.assert_array_equal(np.asarray(state2.params["w"]), w_after)
+    assert int(state2.num_nan_skips) == 1
+
+
+def test_checkpoint_roundtrip_and_partial_restore(tmp_path):
+    cfg = TrainConfig()
+    params = {"a": jnp.arange(4.0), "b": {"c": jnp.ones((2, 2))}}
+    state = TrainState.create(cfg, params)
+    mgr = CheckpointManager(tmp_path / "ck", save_interval_steps=1)
+    mgr.save(3, state, force=True)
+    mgr.wait()
+    assert mgr.latest_step() == 3
+    restored = mgr.restore(jax.tree.map(np.zeros_like, state))
+    np.testing.assert_array_equal(np.asarray(restored.params["a"]),
+                                  np.arange(4.0))
+    # partial restore skips shape mismatches
+    merged = partial_restore({"a": np.zeros(4), "b": {"c": np.zeros((3, 3))}},
+                             {"a": np.ones(4), "b": {"c": np.ones((2, 2))}})
+    np.testing.assert_array_equal(merged["a"], np.ones(4))
+    assert merged["b"]["c"].shape == (3, 3)
+
+
+def test_training_loop_reduces_loss(tmp_path):
+    mesh = make_mesh(MeshConfig(data=-1, model=1))
+    params = {"w": jnp.zeros(3)}
+    target = jnp.array([1.0, -2.0, 0.5])
+
+    def loss_fn(p, rng, batch):
+        pred = batch @ p["w"]
+        gt = batch @ target
+        loss = jnp.mean((pred - gt) ** 2)
+        return loss, {}
+
+    rng = np.random.default_rng(0)
+
+    def batches():
+        while True:
+            yield jnp.asarray(rng.normal(size=(8, 3)), jnp.float32)
+
+    logs = []
+    state = train(LoopConfig(max_steps=200, log_every=100, ckpt_every=1000,
+                             ckpt_dir=str(tmp_path / "ck"), resume=False),
+                  TrainConfig(learning_rate=0.05, use_ema=False),
+                  params, loss_fn, batches(), jax.random.PRNGKey(0),
+                  logger=lambda s, m: logs.append((s, m)), mesh=mesh)
+    assert int(state.step) == 200
+    assert logs[-1][1]["loss"] < logs[0][1]["loss"]
+    np.testing.assert_allclose(np.asarray(state.params["w"]),
+                               np.asarray(target), atol=0.2)
+
+
+def test_loss_meter_nan_assert():
+    m = LossMeter()
+    m.update({"a": 1.0})
+    m.update({"a": 3.0})
+    assert m.means()["a"] == 2.0
+    with pytest.raises(AssertionError):
+        m.update({"a": float("nan")})
+
+
+def test_train_cli_smoke(tmp_path):
+    from infinicube_tpu.train import main
+    main(["none", "--name", "smoke", "--logdir", str(tmp_path),
+          "--exec", "max_steps=2", "log_every=1", "ckpt_every=1000",
+          f"ckpt_dir={tmp_path}/ck",
+          "diffusion.cube_dims=(8,8,8)", "diffusion.cube_ijk_min=(-4,-4,-4)",
+          "diffusion.latent_voxel_size=(1.0,1.0,1.0)",
+          "diffusion.latent_origin=(0.5,0.5,0.5)",
+          "diffusion.latent_channels=2", "diffusion.model_channels=8",
+          "diffusion.channel_mult=(1,2)", "diffusion.attention_ds=()",
+          "diffusion.num_res_blocks=1", "diffusion.num_heads=2",
+          "diffusion.transformer_depth=1", "diffusion.num_map_types=2"])
+    assert (tmp_path / "smoke.jsonl").exists()
