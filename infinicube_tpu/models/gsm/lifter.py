@@ -78,6 +78,24 @@ def visible_voxel_mask(grid: Grid, Ks: jnp.ndarray, cam_to_worlds: jnp.ndarray,
     return (vis & grid.mask[0])[None]
 
 
+def voxel_depth_prior(grid: Grid, Ks: jnp.ndarray, cam_to_worlds: jnp.ndarray,
+                      ijk_min, dense_dims, image_hw) -> jnp.ndarray:
+    """Per-view z-depth rendered from the voxel grid — the pixel branch's
+    ``voxel_depth`` prior (reference dav2_encoder.get_voxel_depth:35-155 /
+    gsm voxel_preprocess). Returns f32[V, H, W, 1] (0 = no hit)."""
+    occ = occupancy_dense(grid, ijk_min, dense_dims)[0]
+    h, w = image_hw
+
+    def per_view(K, pose):
+        ro, rd = proj.posed_rays_from_intrinsics(K, pose, image_hw)
+        hit = dda_first_hit(occ, ro.reshape(-1, 3), rd.reshape(-1, 3),
+                            grid.voxel_size, grid.origin, ijk_min)
+        cos = rd.reshape(-1, 3) @ pose[:3, 2]
+        return jnp.where(hit.hit, hit.t_entry * cos, 0.0).reshape(h, w, 1)
+
+    return jax.vmap(per_view)(Ks, cam_to_worlds)
+
+
 def sample_image_features(points: jnp.ndarray, feats: jnp.ndarray,
                           Ks: jnp.ndarray, cam_to_worlds: jnp.ndarray):
     """Project world points into every view and max-pool bilinear features

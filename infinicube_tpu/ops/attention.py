@@ -29,44 +29,49 @@ def multi_head_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     Uses the Pallas TPU flash kernel when running on TPU with sequences long
     enough to matter (and 128-aligned head_dim); falls back to einsum."""
     scale = 1.0 / math.sqrt(q.shape[-1])
-    n = q.shape[1]
+    nq, nk = q.shape[1], k.shape[1]
     on_tpu = jax.devices()[0].platform in ("tpu", "axon")
-    if on_tpu and n >= flash_min_seq:
+    if on_tpu and nq >= flash_min_seq:
         try:
             from jax.experimental.pallas.ops.tpu.flash_attention import (
                 BlockSizes, SegmentIds, flash_attention)
-            # tuned on v5e: 1024-blocks run ~8x faster than the defaults
-            # (135 TF/s vs 17 TF/s at N=37k, hd=128)
+            # tuned on v5e: 1024 blocks run ~8x faster than the defaults
+            # (135 TF/s vs 17 TF/s at N=37k, hd=128); 2048 exceeds VMEM
             block = 1024
-            pad = (-n) % block
+            pad_q = (-nq) % block
+            blk_k = min(block, nk) if nk % min(block, nk) == 0 else block
+            pad_k = (-nk) % blk_k
             # kernel layout: [B, heads, N, head_dim]
             qt = q.transpose(0, 2, 1, 3)
             kt = k.transpose(0, 2, 1, 3)
             vt = v.transpose(0, 2, 1, 3)
-            if pad:
-                cfgpad = ((0, 0), (0, 0), (0, pad), (0, 0))
-                qt = jnp.pad(qt, cfgpad)
-                kt = jnp.pad(kt, cfgpad)
-                vt = jnp.pad(vt, cfgpad)
+            if pad_q:
+                qt = jnp.pad(qt, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
+            if pad_k:
+                kt = jnp.pad(kt, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
+                vt = jnp.pad(vt, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
+            if pad_q or pad_k:
                 # padding tokens get a different segment id -> fully masked
-                seg = jnp.concatenate(
-                    [jnp.zeros((qt.shape[0], n), jnp.int32),
-                     jnp.ones((qt.shape[0], pad), jnp.int32)], axis=1)
-                ids = SegmentIds(q=seg, kv=seg)
+                B = qt.shape[0]
+                seg_q = jnp.concatenate(
+                    [jnp.zeros((B, nq), jnp.int32),
+                     jnp.ones((B, pad_q), jnp.int32)], axis=1)
+                seg_k = jnp.concatenate(
+                    [jnp.zeros((B, nk), jnp.int32),
+                     jnp.ones((B, pad_k), jnp.int32)], axis=1)
+                ids = SegmentIds(q=seg_q, kv=seg_k)
             else:
                 ids = None
-            npad = n + pad
+            bq = min(block, nq + pad_q)
+            bk = min(blk_k, nk + pad_k)
             bs = BlockSizes(
-                block_q=min(1024, npad), block_k_major=min(1024, npad),
-                block_k=min(1024, npad), block_b=1,
-                block_q_major_dkv=min(1024, npad),
-                block_k_major_dkv=min(1024, npad),
-                block_k_dkv=min(1024, npad), block_q_dkv=min(1024, npad),
-                block_k_major_dq=min(1024, npad), block_k_dq=min(1024, npad),
-                block_q_dq=min(1024, npad))
+                block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+                block_q_major_dkv=bq, block_k_major_dkv=bk, block_k_dkv=bk,
+                block_q_dkv=bq, block_k_major_dq=bk, block_k_dq=bk,
+                block_q_dq=bq)
             out = flash_attention(qt, kt, vt, segment_ids=ids, sm_scale=scale,
                                   block_sizes=bs)
-            return out[:, :, :n].transpose(0, 2, 1, 3)
+            return out[:, :, :nq].transpose(0, 2, 1, 3)
         except Exception:
             pass
     return _einsum_attention(q, k, v, scale)

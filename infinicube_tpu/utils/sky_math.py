@@ -65,6 +65,34 @@ def sample_panorama(pano, dirs, mapping: str = "latlong"):
             + pano[v1, u0] * (1 - du) * dv + pano[v1, u1] * du * dv)
 
 
+def render_panorama(sample_fn, hw: tuple[int, int] = (256, 512),
+                    mapping: str = "latlong"):
+    """Bake a sky model into an equirect panorama image
+    (the reference's skybox save path, sky_utils.py:504-640).
+    sample_fn(dirs (..., 3)) -> rgb (..., 3)."""
+    H, W = hw
+    u = (np.arange(W) + 0.5) / W
+    v = (np.arange(H) + 0.5) / H
+    uu, vv = np.meshgrid(u, v, indexing="xy")
+    uv = np.stack([uu, vv], -1)
+    if mapping == "skylatlong":
+        uv = uv.copy()
+        uv[..., 1] *= 0.5  # upper hemisphere only
+    dirs = latlong_uv_to_direction(uv)
+    return np.asarray(sample_fn(dirs))
+
+
+def save_skybox(path, pano: np.ndarray):
+    """Persist a baked panorama (npz + preview png)."""
+    from pathlib import Path
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(path, panorama=np.asarray(pano, np.float32))
+
+
+def load_skybox(path) -> np.ndarray:
+    return np.load(path)["panorama"]
+
+
 def cubemap_face_uv_to_direction(face: int, uv):
     """Cubemap face (+x,-x,+y,-y,+z,-z = 0..5) + uv in [0,1]^2 -> direction."""
     xp = _xp(uv)
