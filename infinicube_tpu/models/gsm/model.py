@@ -72,6 +72,35 @@ class GSM(nn.Module):
                                         capacity=grids[-1].capacity))
         return grids
 
+    @staticmethod
+    def voxel_preprocess(grid: Grid, crop_min=None, crop_max=None,
+                         surface_only: bool = False,
+                         coarsen=None) -> Grid:
+        """Clip / coarsen / surface-keep preprocessing of the scene grid
+        (reference gsm.voxel_preprocess, gsm.py:473-490). surface_only keeps
+        voxels with at least one empty 6-neighbor (interior culling)."""
+        import jax.numpy as jnp
+        from infinicube_tpu.grid.build import grid_from_keys
+        from infinicube_tpu.grid import keys as K
+        from infinicube_tpu.grid.ops import neighbor_indexes
+        mask = grid.mask
+        if crop_min is not None:
+            c = grid.voxel_centers()
+            inside = jnp.all((c >= jnp.asarray(crop_min)) &
+                             (c <= jnp.asarray(crop_max)), axis=-1)
+            mask = mask & inside
+        if surface_only:
+            nbr = neighbor_indexes(grid, 3)
+            # 6-connected face neighbors in the row-major 3x3x3 window
+            face_taps = jnp.asarray([4, 10, 12, 14, 16, 22])
+            full = jnp.all(nbr[:, :, face_taps] >= 0, axis=-1)
+            mask = mask & ~full
+        g = grid_from_keys(jnp.where(mask, grid.keys, K.INVALID_KEY),
+                           grid.capacity, grid.voxel_size, grid.origin)
+        if coarsen is not None:
+            g = coarsened_grid(g, tuple(coarsen), capacity=g.capacity)
+        return g
+
     def sky_token(self, images, sky_mask, Ks, cam_to_worlds):
         V, H, W = images.shape[:3]
         import jax

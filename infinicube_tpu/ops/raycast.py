@@ -36,15 +36,47 @@ class RayHit(NamedTuple):
     ijk: jnp.ndarray      # int32[N, 3] world voxel coordinate of the hit
 
 
+def manhattan_distance_transform(occ: jnp.ndarray,
+                                 max_dist: int = 255) -> jnp.ndarray:
+    """Exact L1 distance-to-occupied transform, uint8[D, H, W].
+
+    Separable two-pass chamfer per axis, each pass a log-depth
+    ``associative_scan`` with the min-plus operator over (min, length) pairs
+    — O(V log V) on device, computed once per scene and reused by every
+    frame's raycast for empty-space skipping."""
+    big = jnp.int32(1 << 14)
+    d = jnp.where(occ, 0, big).astype(jnp.int32)
+
+    def comb(a, b):
+        ma, la = a
+        mb, lb = b
+        return jnp.minimum(mb, ma + lb), la + lb
+
+    for axis in range(3):
+        for rev in (False, True):
+            arr = jnp.flip(d, axis) if rev else d
+            ones = jnp.ones_like(arr)
+            m, _ = jax.lax.associative_scan(comb, (arr, ones), axis=axis)
+            d = jnp.flip(m, axis) if rev else m
+    return jnp.minimum(d, max_dist).astype(jnp.uint8)
+
+
 @partial(jax.jit, static_argnames=("max_steps",))
 def dda_first_hit(occ: jnp.ndarray, ray_o: jnp.ndarray, ray_d: jnp.ndarray,
                   voxel_size, origin, ijk_min, max_steps: int | None = None,
-                  t_far: float = 1e9) -> RayHit:
+                  t_far: float = 1e9,
+                  skip_dist: jnp.ndarray | None = None) -> RayHit:
     """March rays through a dense occupancy block; return first occupied cell.
 
     occ bool[D, H, W] — occupancy of the crop [ijk_min, ijk_min + dims).
     ray_o/ray_d f32[N, 3] world-space. t is measured in units of |ray_d|
     (pass normalized directions for Euclidean distance).
+
+    skip_dist: optional uint8[D, H, W] Manhattan distance-to-occupied
+    (``manhattan_distance_transform``). With it, rays in empty space jump
+    ``(dist-1)`` L1 cells per iteration instead of stepping one boundary —
+    the loop also exits as soon as every ray is resolved (lax.while_loop),
+    cutting typical iteration counts by ~1-2 orders of magnitude.
     """
     D, H, W = occ.shape
     dims = jnp.array([D, H, W], jnp.float32)
@@ -71,53 +103,85 @@ def dda_first_hit(occ: jnp.ndarray, ray_o: jnp.ndarray, ray_d: jnp.ndarray,
     alive0 = t_enter < t_leave
 
     start = o + d * (t_enter[:, None] + 1e-5)
-    cell = jnp.clip(jnp.floor(start).astype(jnp.int32), 0,
-                    jnp.array([D - 1, H - 1, W - 1]))
+    cell0 = jnp.clip(jnp.floor(start).astype(jnp.int32), 0,
+                     jnp.array([D - 1, H - 1, W - 1]))
     step = jnp.where(d >= 0, 1, -1).astype(jnp.int32)
-    next_bound = cell.astype(jnp.float32) + (step > 0).astype(jnp.float32)
-    t_max = (next_bound - o) * inv_d                          # [N, 3]
     t_delta = jnp.abs(inv_d)
+    l1_speed = jnp.sum(jnp.abs(d), axis=-1)                   # cells per unit t
+
+    def t_max_of(cell):
+        nb = cell.astype(jnp.float32) + (step > 0).astype(jnp.float32)
+        return (nb - o) * inv_d
+
+    def entry_exit_of(cell):
+        lo_b = cell.astype(jnp.float32) + (step < 0).astype(jnp.float32)
+        hi_b = cell.astype(jnp.float32) + (step > 0).astype(jnp.float32)
+        te = jnp.max((lo_b - o) * inv_d, axis=-1)
+        tx = jnp.min((hi_b - o) * inv_d, axis=-1)
+        return jnp.maximum(te, 0.0), jnp.minimum(tx, t_leave)
 
     occ_flat = occ.reshape(-1)
+    sd_flat = skip_dist.reshape(-1) if skip_dist is not None else None
     n = ray_o.shape[0]
 
     class S(NamedTuple):
+        it: jnp.ndarray
         cell: jnp.ndarray
         t_max: jnp.ndarray
         t_cur: jnp.ndarray
         hit: jnp.ndarray
         hit_cell: jnp.ndarray
-        t_entry: jnp.ndarray
-        t_exit: jnp.ndarray
         alive: jnp.ndarray
 
-    def body(_, s: S) -> S:
-        in_box = jnp.all((s.cell >= 0) & (s.cell < jnp.array([D, H, W])), axis=-1)
-        flat = (s.cell[:, 0] * H + s.cell[:, 1]) * W + s.cell[:, 2]
-        occ_here = occ_flat[jnp.clip(flat, 0, D * H * W - 1)] & in_box
-        t_next = jnp.min(s.t_max, axis=-1)
+    def cond(s: S):
+        return (s.it < max_steps) & jnp.any(s.alive)
+
+    def body(s: S) -> S:
+        in_box = jnp.all((s.cell >= 0) & (s.cell < jnp.array([D, H, W])),
+                         axis=-1)
+        flat = jnp.clip((s.cell[:, 0] * H + s.cell[:, 1]) * W + s.cell[:, 2],
+                        0, D * H * W - 1)
+        occ_here = occ_flat[flat] & in_box
         new_hit = s.alive & occ_here & ~s.hit
         hit = s.hit | new_hit
         hit_cell = jnp.where(new_hit[:, None], s.cell, s.hit_cell)
-        t_entry = jnp.where(new_hit, s.t_cur, s.t_entry)
-        t_exit = jnp.where(new_hit, jnp.minimum(t_next, t_leave), s.t_exit)
-        # advance along the axis with the smallest t_max
+        adv = s.alive & ~hit
+
+        # standard DDA step
         axis = jnp.argmin(s.t_max, axis=-1)
         onehot = jax.nn.one_hot(axis, 3, dtype=jnp.int32)
-        adv = s.alive & ~hit
-        cell = jnp.where(adv[:, None], s.cell + onehot * step, s.cell)
-        t_max = jnp.where(adv[:, None],
-                          s.t_max + onehot.astype(jnp.float32) * t_delta, s.t_max)
-        t_cur = jnp.where(adv, t_next, s.t_cur)
-        alive = s.alive & ~hit & (t_cur < t_leave) & \
-            jnp.all((cell >= 0) & (cell < jnp.array([D, H, W])), axis=-1)
-        return S(cell, t_max, t_cur, hit, hit_cell, t_entry, t_exit, alive)
+        t_next = jnp.min(s.t_max, axis=-1)
+        cell_s = s.cell + onehot * step
+        t_max_s = s.t_max + onehot.astype(jnp.float32) * t_delta
 
-    init = S(cell=cell, t_max=t_max, t_cur=t_enter, hit=jnp.zeros(n, bool),
-             hit_cell=jnp.zeros((n, 3), jnp.int32), t_entry=jnp.zeros(n),
-             t_exit=jnp.zeros(n), alive=alive0)
-    out = jax.lax.fori_loop(0, max_steps, body, init)
-    return RayHit(hit=out.hit, t_entry=out.t_entry, t_exit=out.t_exit,
+        if sd_flat is not None:
+            # empty-space skip: jump (dist-1) L1 cells parametrically
+            sdist = sd_flat[flat].astype(jnp.float32)
+            can_jump = adv & (sdist >= 2.0) & in_box
+            t_jump = s.t_cur + (sdist - 1.0) / jnp.maximum(l1_speed, 1e-9)
+            pos_j = o + d * (t_jump[:, None] + 1e-5)
+            cell_j = jnp.floor(pos_j).astype(jnp.int32)
+            cell_new = jnp.where(can_jump[:, None], cell_j, cell_s)
+            t_max_new = jnp.where(can_jump[:, None], t_max_of(cell_new),
+                                  t_max_s)
+            t_cur_new = jnp.where(can_jump, t_jump, t_next)
+        else:
+            cell_new, t_max_new, t_cur_new = cell_s, t_max_s, t_next
+
+        cell = jnp.where(adv[:, None], cell_new, s.cell)
+        t_max = jnp.where(adv[:, None], t_max_new, s.t_max)
+        t_cur = jnp.where(adv, t_cur_new, s.t_cur)
+        alive = adv & (t_cur < t_leave) & \
+            jnp.all((cell >= 0) & (cell < jnp.array([D, H, W])), axis=-1)
+        return S(s.it + 1, cell, t_max, t_cur, hit, hit_cell, alive)
+
+    init = S(it=jnp.int32(0), cell=cell0, t_max=t_max_of(cell0),
+             t_cur=t_enter, hit=jnp.zeros(n, bool),
+             hit_cell=jnp.zeros((n, 3), jnp.int32), alive=alive0)
+    out = jax.lax.while_loop(cond, body, init)
+    t_entry, t_exit = entry_exit_of(out.hit_cell)
+    return RayHit(hit=out.hit, t_entry=jnp.where(out.hit, t_entry, 0.0),
+                  t_exit=jnp.where(out.hit, t_exit, 0.0),
                   ijk=out.hit_cell + imn)
 
 

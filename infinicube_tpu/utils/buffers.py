@@ -39,7 +39,7 @@ from infinicube_tpu.camera.pinhole import PinholeCamera
 from infinicube_tpu.camera import projection as proj
 from infinicube_tpu.grid.grid import Grid
 from infinicube_tpu.grid.ops import to_dense
-from infinicube_tpu.ops.raycast import dda_first_hit
+from infinicube_tpu.ops.raycast import dda_first_hit, manhattan_distance_transform
 from infinicube_tpu.utils.cad_car import canonical_car_occupancy
 
 
@@ -50,6 +50,7 @@ class StaticSceneBlocks:
     occ: jnp.ndarray        # bool [D, H, W]
     semantic: jnp.ndarray   # int32[D, H, W]
     instance: jnp.ndarray   # int32[D, H, W]
+    skip: jnp.ndarray       # uint8[D, H, W] L1 distance field (space skipping)
     voxel_size: jnp.ndarray  # f32[3]
     origin: jnp.ndarray      # f32[3]
     ijk_min: jnp.ndarray     # int32[3]
@@ -65,6 +66,7 @@ def build_static_blocks(grid: Grid, semantics: jnp.ndarray,
     ins = to_dense(grid, instance[None, :, None], ijk_min, dense_dims)[0, ..., 0]
     return StaticSceneBlocks(
         occ=occ, semantic=sem.astype(jnp.int32), instance=ins.astype(jnp.int32),
+        skip=manhattan_distance_transform(occ),
         voxel_size=grid.voxel_size, origin=grid.origin,
         ijk_min=jnp.asarray(ijk_min, jnp.int32))
 
@@ -102,7 +104,8 @@ class FrameBuffers(NamedTuple):
 
 def _static_hit(blocks: StaticSceneBlocks, ray_o, ray_d, max_steps):
     hit = dda_first_hit(blocks.occ, ray_o, ray_d, blocks.voxel_size,
-                        blocks.origin, blocks.ijk_min, max_steps=max_steps)
+                        blocks.origin, blocks.ijk_min, max_steps=max_steps,
+                        skip_dist=blocks.skip)
     rel = hit.ijk - blocks.ijk_min
     D, H, W = blocks.occ.shape
     rel = jnp.clip(rel, 0, jnp.array([D - 1, H - 1, W - 1]))
@@ -165,20 +168,66 @@ def render_frame(blocks: StaticSceneBlocks, objects: DynamicObjects,
 
 
 @partial(jax.jit, static_argnames=("image_hw", "max_steps_static",
-                                   "max_steps_obj"))
+                                   "max_steps_obj", "frame_chunk"))
 def render_sequence(blocks: StaticSceneBlocks, objects: DynamicObjects,
                     K: jnp.ndarray, cam_to_worlds: jnp.ndarray,
                     image_hw: tuple[int, int], max_steps_static: int = 768,
-                    max_steps_obj: int = 64) -> FrameBuffers:
-    """Render all frames with a lax.scan. cam_to_worlds f32[T, 4, 4]."""
-    def step(_, inp):
-        fi, pose = inp
-        fb = render_frame(blocks, objects, fi, K, pose, image_hw,
-                          max_steps_static, max_steps_obj)
-        return None, fb
+                    max_steps_obj: int = 64,
+                    frame_chunk: int = 8) -> FrameBuffers:
+    """Render all frames. cam_to_worlds f32[T, 4, 4].
 
+    The static-world DDA marches ~10^3 steps; running it per frame pays the
+    per-step launch overhead T times on tiny work. Instead rays are batched
+    ``frame_chunk`` frames at a time through the DDA (the static world is
+    frame-invariant; chunking bounds the ray-state memory), and only the
+    cheap per-object passes (<= max_steps_obj steps) scan over frames."""
     T = cam_to_worlds.shape[0]
-    _, out = jax.lax.scan(step, None, (jnp.arange(T), cam_to_worlds))
+    h, w = image_hw
+
+    def frame_rays(pose):
+        ro, rd = proj.posed_rays_from_intrinsics(K, pose, image_hw)
+        return ro.reshape(-1, 3), rd.reshape(-1, 3)
+
+    ray_o, ray_d = jax.vmap(frame_rays)(cam_to_worlds)   # [T, HW, 3]
+    pad = (-T) % frame_chunk
+    ro_p = jnp.pad(ray_o, ((0, pad), (0, 0), (0, 0)))
+    rd_p = jnp.pad(ray_d, ((0, pad), (0, 0), (0, 0)), constant_values=1.0)
+    n_chunks = (T + pad) // frame_chunk
+
+    def chunk_hit(args):
+        ro, rd = args
+        return _static_hit(blocks, ro.reshape(-1, 3), rd.reshape(-1, 3),
+                           max_steps_static)
+
+    t_s, sem_s, ins_s = jax.lax.map(
+        chunk_hit, (ro_p.reshape(n_chunks, -1, 3),
+                    rd_p.reshape(n_chunks, -1, 3)))
+    t_s = t_s.reshape(T + pad, -1)[:T]
+    sem_s = sem_s.reshape(T + pad, -1)[:T]
+    ins_s = ins_s.reshape(T + pad, -1)[:T]
+
+    car_occ = jnp.asarray(canonical_car_occupancy())
+
+    def step(_, inp):
+        fi, pose, ro, rd, ts, sems, inss = inp
+        t_o = _object_hits(car_occ, objects.poses[fi], objects.lwh,
+                           ro, rd, objects.valid[fi], max_steps_obj)
+        best_obj = jnp.argmin(t_o, axis=0)
+        t_best_obj = jnp.min(t_o, axis=0)
+        obj_wins = t_best_obj < ts
+        t = jnp.where(obj_wins, t_best_obj, ts)
+        sem = jnp.where(obj_wins, objects.sem[best_obj], sems)
+        ins = jnp.where(obj_wins, objects.ids[best_obj], inss)
+        hit = jnp.isfinite(t)
+        cosang = rd @ pose[:3, 2]
+        depth = jnp.where(hit, t * cosang, 0.0)
+        return None, FrameBuffers(
+            depth=depth.reshape(h, w),
+            semantic=jnp.where(hit, sem, 0).reshape(h, w).astype(jnp.int32),
+            instance=jnp.where(hit, ins, 0).reshape(h, w).astype(jnp.int32))
+
+    _, out = jax.lax.scan(step, None, (jnp.arange(T), cam_to_worlds,
+                                       ray_o, ray_d, t_s, sem_s, ins_s))
     return out
 
 

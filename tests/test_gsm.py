@@ -146,3 +146,13 @@ def test_sky_math_roundtrip():
     np.testing.assert_allclose(back, d, atol=1e-5)
     # up direction maps to v=0
     assert abs(float(direction_to_latlong_uv(np.array([0.0, 0, 1]))[1])) < 1e-6
+
+
+def test_voxel_preprocess_surface_and_crop():
+    from infinicube_tpu.grid import grid_from_dense
+    g = grid_from_dense(1, (5, 5, 5), (0, 0, 0), 1.0, 0.0)
+    out = GSM.voxel_preprocess(g, surface_only=True)
+    # the 3x3x3 interior (27 voxels) is culled from the 5^3 block
+    assert int(out.total_voxels) == 125 - 27
+    out2 = GSM.voxel_preprocess(g, crop_min=(0, 0, 0), crop_max=(1.6, 10, 10))
+    assert int(out2.total_voxels) == 2 * 25
