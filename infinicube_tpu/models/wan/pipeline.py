@@ -104,6 +104,27 @@ class WanVideoGenerator:
         coo = enc(norm(coordinate_rgb))
         return jnp.concatenate([sem, coo], axis=-1)
 
+    # ---- training ----------------------------------------------------------
+    def train_loss(self, params, rng: jax.Array, video_latents: jnp.ndarray,
+                   text_emb: jnp.ndarray, buffer_latents: jnp.ndarray | None,
+                   text_drop_prob: float = 0.1):
+        """Flow-matching velocity MSE (the DiffSynth fork's buffer-conditioned
+        finetuning objective): sigma ~ shifted schedule, x_t = (1-s) x0 + s e,
+        target v = e - x0; classifier-free text dropout."""
+        B = video_latents.shape[0]
+        r_s, r_n, r_d = jax.random.split(rng, 3)
+        u = jax.random.uniform(r_s, (B,))
+        sigma = self.schedule.shift * u / (1.0 + (self.schedule.shift - 1) * u)
+        noise = jax.random.normal(r_n, video_latents.shape)
+        x_t = self.schedule.add_noise(video_latents, noise, sigma)
+        target = self.schedule.velocity_target(video_latents, noise)
+        drop = jax.random.uniform(r_d, (B,)) < text_drop_prob
+        ctx = jnp.where(drop[:, None, None], 0.0, text_emb)
+        t = sigma * self.schedule.num_train_timesteps
+        pred = self.dit.apply(params["dit"], x_t, t, ctx, buffer_latents)
+        loss = jnp.mean((pred - target) ** 2)
+        return loss, {"fm_mse": loss}
+
     # ---- sampling ---------------------------------------------------------
     @partial(jax.jit, static_argnames=("self", "num_steps", "guidance_scale"))
     def _denoise(self, params, rng, text_emb, null_emb, buffer_latents,

@@ -119,3 +119,24 @@ def test_pipeline_end_to_end_tiny():
     frames = gen.generate(sem, coo, "a driving scene", num_steps=2)
     assert frames.shape == (5, 16, 16, 3)
     assert frames.dtype == np.uint8
+
+
+def test_wan_train_loss_and_grads():
+    cfg = WanPipelineConfig(
+        dit=tiny_dit(), vae=tiny_vae(), t5=T5Config.tiny(d_model=32),
+        num_frames=5, height=16, width=16)
+    gen = WanVideoGenerator(cfg)
+    params = gen.init_params(jax.random.PRNGKey(0), tiny_shapes=True)
+    lat = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 8, 8, 4))
+    buf = jax.random.normal(jax.random.PRNGKey(2), (2, 3, 8, 8, 8))
+    txt = jax.random.normal(jax.random.PRNGKey(3), (2, 6, 32))
+
+    def loss_fn(p):
+        l, _ = gen.train_loss(p, jax.random.PRNGKey(4), lat, txt, buf)
+        return l
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    g = jax.tree.reduce(lambda a, b: a + float(jnp.sum(jnp.abs(b))),
+                        grads["dit"], 0.0)
+    assert g > 0
