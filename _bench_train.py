@@ -5,21 +5,20 @@ from infinicube_tpu.models.diffusion.model import (
     CondCubes, DiffusionConfig, VoxelDiffusion)
 from infinicube_tpu.training.state import TrainConfig, TrainState, make_train_step
 
-cfg = DiffusionConfig()  # release: 64^3, ch192, depth-12 transformer, bf16
+cfg = DiffusionConfig(remat=True)
 model = VoxelDiffusion(cfg)
-params = model.init(jax.random.PRNGKey(0))
+params = jax.jit(model.init)(jax.random.PRNGKey(0))
 n_params = sum(x.size for x in jax.tree.leaves(params))
 print(f"UNet params: {n_params/1e6:.1f}M", flush=True)
-
-tcfg = TrainConfig()
+tcfg = TrainConfig(use_ema=False)
 state = TrainState.create(tcfg, params)
 
 def loss_fn(p, rng, batch):
     lat, cond = batch
     return model.train_loss(p, rng, lat, cond)
 
-step = jax.jit(make_train_step(tcfg, loss_fn))
-B = 2
+step = jax.jit(make_train_step(tcfg, loss_fn), donate_argnums=0)
+B = 1
 lat = jax.random.normal(jax.random.PRNGKey(1), (B, 64, 64, 64, 8))
 cond = CondCubes.null(B, cfg)
 state, m = step(state, jax.random.PRNGKey(2), (lat, cond))
@@ -31,4 +30,5 @@ for i in range(3):
                     (lat, cond))
 _ = jax.device_get(m["loss"])
 dt = (time.perf_counter() - t0) / 3
-print(f"train step (B={B}): {dt*1e3:.0f} ms -> {B/dt:.2f} samples/s", flush=True)
+print(f"train step (B={B}, remat, no-ema): {dt*1e3:.0f} ms -> "
+      f"{B/dt:.2f} samples/s", flush=True)

@@ -49,6 +49,7 @@ class DiffusionConfig:
     num_heads: int = 8
     transformer_depth: int = 12
     dtype: Any = jnp.bfloat16
+    remat: bool = False
     # conditioning
     num_map_types: int = 3
     use_map_cond: bool = True
@@ -99,7 +100,7 @@ class VoxelDiffusion:
             attention_ds=cfg.attention_ds,
             num_heads=cfg.num_heads,
             transformer_depth=cfg.transformer_depth,
-            dtype=cfg.dtype)
+            dtype=cfg.dtype, remat=cfg.remat)
         self.schedule = NoiseSchedule.linear(
             cfg.num_train_timesteps, cfg.beta_start, cfg.beta_end)
 

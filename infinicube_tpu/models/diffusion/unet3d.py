@@ -171,9 +171,14 @@ class UNet3D(nn.Module):
     context_dim: int | None = None
     dtype: jnp.dtype = jnp.float32
     dropout: float = 0.0
+    remat: bool = False   # rematerialize res/transformer blocks (training
+    # memory <-> recompute trade, jax.checkpoint)
 
     @nn.compact
     def __call__(self, x, t, context=None, deterministic: bool = True):
+        ResBlock = nn.remat(ResBlock3D) if self.remat else ResBlock3D
+        Transformer = nn.remat(SpatialTransformer3D) if self.remat \
+            else SpatialTransformer3D
         ch = self.model_channels
         emb = timestep_embedding(t, ch)
         emb = nn.Dense(4 * ch, dtype=self.dtype)(emb)
@@ -185,7 +190,7 @@ class UNet3D(nn.Module):
         ds = 1
         for level, mult in enumerate(self.channel_mult):
             for _ in range(self.num_res_blocks):
-                h = ResBlock3D(mult * ch, self.dtype, dropout=self.dropout)(
+                h = ResBlock(mult * ch, self.dtype, dropout=self.dropout)(
                     h, emb, deterministic)
                 if ds in self.attention_ds:
                     h = SelfAttention3D(self.num_heads, self.dtype)(h)
@@ -196,18 +201,17 @@ class UNet3D(nn.Module):
                 ds *= 2
                 skips.append(h)
 
-        h = ResBlock3D(h.shape[-1], self.dtype, dropout=self.dropout)(
+        h = ResBlock(h.shape[-1], self.dtype, dropout=self.dropout)(
             h, emb, deterministic)
-        h = SpatialTransformer3D(self.transformer_depth, self.num_heads,
-                                 self.dtype, name="middle_transformer")(
-            h, context)
-        h = ResBlock3D(h.shape[-1], self.dtype, dropout=self.dropout)(
+        h = Transformer(self.transformer_depth, self.num_heads,
+                        self.dtype, name="middle_transformer")(h, context)
+        h = ResBlock(h.shape[-1], self.dtype, dropout=self.dropout)(
             h, emb, deterministic)
 
         for level, mult in reversed(list(enumerate(self.channel_mult))):
             for i in range(self.num_res_blocks + 1):
                 h = jnp.concatenate([h, skips.pop()], axis=-1)
-                h = ResBlock3D(mult * ch, self.dtype, dropout=self.dropout)(
+                h = ResBlock(mult * ch, self.dtype, dropout=self.dropout)(
                     h, emb, deterministic)
                 if ds in self.attention_ds:
                     h = SelfAttention3D(self.num_heads, self.dtype)(h)
