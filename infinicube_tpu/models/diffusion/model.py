@@ -226,3 +226,19 @@ class VoxelDiffusion:
         """scale_by_std: 1/std of the first batch of latents
         (reference diffusion.py:424-443)."""
         return 1.0 / jnp.maximum(jnp.std(latents), 1e-6)
+
+    def evaluation_api(self, params, rng, cond: CondCubes, decode_fn=None,
+                       num_steps: int = 100, guidance_scale: float = 1.0,
+                       scale_factor: float = 1.0,
+                       sdedit: SDEditState | None = None, sampler="ddim"):
+        """Public inference entry mirroring the reference's evaluation_api
+        (diffusion.py:1408-1566): sample latents under (EMA) params with
+        CFG + optional SDEdit, then decode to a sparse semantic grid when a
+        VAE ``decode_fn(latents) -> (ijk, semantics)`` is supplied."""
+        latents = self.sample(params, rng, cond, num_steps=num_steps,
+                              guidance_scale=guidance_scale, sampler=sampler,
+                              scale_factor=scale_factor, sdedit=sdedit,
+                              use_sdedit=sdedit is not None)
+        if decode_fn is None:
+            return latents, None
+        return latents, decode_fn(latents)
