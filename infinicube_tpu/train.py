@@ -28,6 +28,26 @@ from infinicube_tpu.training.loop import LoopConfig, train
 from infinicube_tpu.training.state import TrainConfig
 
 
+def _real_dataset(cfg: Config):
+    """WaymoClipDataset when a data root with shards is configured."""
+    from pathlib import Path
+    root = cfg.get_path("data.root")
+    if not root or not Path(root).exists():
+        return None
+    from infinicube_tpu.data.waymo_dataset import (
+        WaymoDatasetConfig, build_dataset)
+    dcfg = WaymoDatasetConfig(root=root, **{
+        k: v for k, v in cfg.get_path("data", Config()).items()
+        if k != "root" and k in WaymoDatasetConfig.__dataclass_fields__})
+
+    class Looping:
+        def __iter__(self):
+            while True:
+                yield from build_dataset(dcfg)
+
+    return Looping()
+
+
 def build_diffusion(cfg: Config):
     from infinicube_tpu.models.diffusion.model import (
         CondCubes, DiffusionConfig, VoxelDiffusion)
@@ -38,6 +58,36 @@ def build_diffusion(cfg: Config):
     def loss_fn(p, rng, batch):
         latents, cond = batch
         return model.train_loss(p, rng, latents, cond)
+
+    ds = _real_dataset(cfg)
+    if ds is not None:
+        # frozen VAE for latent extraction (reference load_first_stage)
+        from infinicube_tpu.models.vae.sunet import (
+            SparseStructureVAE, SparseVAEConfig)
+        from infinicube_tpu.training.checkpoint import CheckpointManager
+        from infinicube_tpu.training.data_glue import diffusion_batches
+        vcfg = SparseVAEConfig(**cfg.get_path("vae", {}))
+        vae = SparseStructureVAE(vcfg)
+        ckpt = cfg.get_path("vae_checkpoint")
+        if not ckpt:
+            raise SystemExit("diffusion training on real data requires "
+                             "vae_checkpoint")
+        # shape-init the VAE then load the frozen checkpoint into it
+        from infinicube_tpu.models.vae.sunet import build_hash_tree
+        from infinicube_tpu.grid.ops import majority_label
+        pts0 = jnp.zeros((1, 64, 3))
+        mask0 = jnp.ones((1, 64), bool)
+        grids0 = build_hash_tree(vcfg, pts0, mask0)
+        sem0 = majority_label(grids0[0], pts0, jnp.zeros((1, 64), jnp.int32),
+                              mask0, vcfg.num_semantic)
+        vae_params = vae.init(jax.random.PRNGKey(0), grids0, sem0,
+                              jax.random.PRNGKey(1))
+        mgr = CheckpointManager(ckpt)
+        if mgr.latest_step() is not None:
+            vae_params = mgr.restore(vae_params)
+        return params, loss_fn, diffusion_batches(
+            ds, model, vae, vae_params, vcfg,
+            batch_size=cfg.get_path("batch_size", 2))
 
     def synthetic_batches():
         # synthetic latents stream for smoke training without data
