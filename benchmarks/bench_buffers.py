@@ -1,6 +1,9 @@
 """Stage-2 guidance-buffer benchmark: 93 frames @ 480p over a 300k-voxel
 world with 8 dynamic cars (tracked config 1)."""
 
+import sys
+from pathlib import Path
+sys.path.insert(0, str(Path(__file__).parent.parent))
 import time
 
 import numpy as np

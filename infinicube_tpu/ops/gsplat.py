@@ -34,6 +34,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def quat_to_rotmat(quats: jnp.ndarray) -> jnp.ndarray:
@@ -133,23 +134,41 @@ def rasterize(proj: Projected, opacities: jnp.ndarray, colors: jnp.ndarray,
     oky = (gy <= t_max_y[:, None]) & (gy >= 0) & (gy < ty_n)
     tile_id = (gy[:, :, None] * tx_n + gx[:, None, :])      # [N, S, S]
     ok = (oky[:, :, None] & okx[:, None, :]) & proj.valid[:, None, None]
-    tile_id = jnp.where(ok, tile_id, T).reshape(-1)          # [N*S*S]
-    gauss_id = jnp.broadcast_to(jnp.arange(N)[:, None, None],
+    gauss_id = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[:, None, None],
                                 (N, S, S)).reshape(-1)
 
-    order = jnp.lexsort((proj.depth[gauss_id], tile_id))
-    tile_sorted = tile_id[order]
-    gauss_sorted = gauss_id[order]
+    # ONE key-value sort: packed key = tile_id << depth_bits | log-quantized
+    # depth; the gaussian id rides along inside lax.sort, avoiding the 8M
+    # random permutation gathers an argsort would need. depth_bits sized so
+    # the key fits int32; the per-gaussian depth key is computed ONCE and
+    # broadcast over the footprint (no gather).
+    import math as _math
+    depth_bits = max(8, min(20, 30 - int(_math.ceil(_math.log2(T + 2)))))
+    znear, zfar = 1e-2, 4e4
+    zq_g = jnp.clip(jnp.log(jnp.maximum(proj.depth, znear) / znear) /
+                    np.log(zfar / znear) * ((1 << depth_bits) - 1), 0,
+                    (1 << depth_bits) - 1).astype(jnp.int32)
+    packed = jnp.where(ok, tile_id * (1 << depth_bits) + zq_g[:, None, None],
+                       T * (1 << depth_bits)).reshape(-1)
+    skeys, gauss_sorted = jax.lax.sort((packed, gauss_id), num_keys=1)
+    tile_sorted = skeys >> depth_bits
 
     starts = jnp.searchsorted(tile_sorted, jnp.arange(T))
     ends = jnp.searchsorted(tile_sorted, jnp.arange(T) + 1)
 
-    # per-tile gather of up to tile_capacity front-most instances
+    # per-tile gather of up to tile_capacity front-most instances; all
+    # per-gaussian parameters are packed into ONE row matrix so the whole
+    # rasterizer performs a single row gather (TPU gathers are the cost)
     karange = jnp.arange(tile_capacity)
     idx = starts[:, None] + karange[None]                    # [T, K]
     k_ok = idx < ends[:, None]
     idx = jnp.clip(idx, 0, tile_sorted.shape[0] - 1)
     gidx = gauss_sorted[idx]                                 # [T, K]
+    packed_params = jnp.concatenate([
+        proj.mean2d, proj.conic, proj.depth[:, None], opacities[:, None],
+        colors.astype(jnp.float32)], axis=-1)                # [N, 7 + C]
+    tile_params = packed_params[gidx.reshape(-1)].reshape(
+        T, tile_capacity, -1)                                # one gather
 
     # tile pixel coordinates
     tgrid_y, tgrid_x = jnp.meshgrid(jnp.arange(ty_n), jnp.arange(tx_n),
@@ -162,12 +181,12 @@ def rasterize(proj: Projected, opacities: jnp.ndarray, colors: jnp.ndarray,
     C = colors.shape[-1]
 
     def tile_block(args):
-        gi, kk, x0, y0 = args                     # [K], [K], scalar, scalar
-        mu = proj.mean2d[gi]                      # [K, 2]
-        con = proj.conic[gi]                      # [K, 3]
-        op = opacities[gi]                        # [K]
-        col = colors[gi]                          # [K, C]
-        dep = proj.depth[gi]                      # [K]
+        params, kk, x0, y0 = args                 # [K, 7+C], [K], scalars
+        mu = params[:, 0:2]                       # [K, 2]
+        con = params[:, 2:5]                      # [K, 3]
+        dep = params[:, 5]                        # [K]
+        op = params[:, 6]                         # [K]
+        col = params[:, 7:]                       # [K, C]
         pix = jnp.stack([x0, y0]) + local + 0.5   # [P, 2]
         d = pix[None, :, :] - mu[:, None, :]      # [K, P, 2]
         sigma = 0.5 * (con[:, 0, None] * d[..., 0] ** 2 +
@@ -176,17 +195,19 @@ def rasterize(proj: Projected, opacities: jnp.ndarray, colors: jnp.ndarray,
         alpha = jnp.minimum(op[:, None] * jnp.exp(-sigma), 0.999)
         alpha = jnp.where((sigma > 0) & kk[:, None] & (alpha > 1.0 / 255.0),
                           alpha, 0.0)             # [K, P]
-        trans = jnp.cumprod(1.0 - alpha, axis=0)
-        trans_excl = jnp.concatenate([jnp.ones_like(trans[:1]),
-                                      trans[:-1]], axis=0)
-        wgt = alpha * trans_excl                  # [K, P]
+        # exclusive transmittance via a strictly-lower-triangular matmul in
+        # log space: one MXU op instead of a K-step sequential cumprod
+        Kn = alpha.shape[0]
+        ltri = jnp.tril(jnp.ones((Kn, Kn), jnp.float32), k=-1)
+        log_t_excl = ltri @ jnp.log1p(-alpha)     # [K, P]
+        wgt = alpha * jnp.exp(log_t_excl)         # [K, P]
         out_c = jnp.einsum("kp,kc->pc", wgt, col)
         out_a = jnp.sum(wgt, axis=0)
         out_d = jnp.einsum("kp,k->p", wgt, dep)
         return out_c, out_a, out_d
 
     out_c, out_a, out_d = jax.lax.map(
-        tile_block, (gidx, k_ok, px0, py0), batch_size=chunk)
+        tile_block, (tile_params, k_ok, px0, py0), batch_size=chunk)
 
     def untile(x):
         ch = x.shape[-1] if x.ndim == 3 else None
