@@ -67,27 +67,51 @@ def resample_trajectory(poses: np.ndarray, num_frames: int,
     return inter_poses(poses, num_frames, smoothness=1.0)
 
 
+def stamp_static_instances(world: WorldGrid,
+                           static_object_info: dict,
+                           enlarge: float = 1.2) -> np.ndarray:
+    """Instance ids for the world's car-like voxels from parked-object boxes
+    (reference get_instance_id_for_fvdb_scene_points, fvdb_utils.py:299-385).
+    static_object_info: {gid: {object_to_world, object_lwh, object_id_int}}."""
+    from infinicube_tpu.utils.bbox import assign_instance_ids
+    from infinicube_tpu.utils.semantic import CAR_LIKE_IDS
+    objs = list(static_object_info.values())
+    if not objs:
+        return np.zeros(world.num_voxels, np.int32)
+    poses = np.asarray([o["object_to_world"] for o in objs], np.float64)
+    lwhs = np.asarray([o["object_lwh"] for o in objs], np.float64)
+    ids = np.asarray([o["object_id_int"] for o in objs], np.int64)
+    return assign_instance_ids(world.points(), world.semantics, poses, lwhs,
+                               ids, CAR_LIKE_IDS, enlarge).astype(np.int32)
+
+
 def generate_buffers_for_world(world: WorldGrid, cam_to_worlds_flu: np.ndarray,
                                camera: PinholeCamera = DEFAULT_CAMERA,
                                objects: DynamicObjects | None = None,
+                               instance_ids: np.ndarray | None = None,
                                device_capacity: int = 2_000_000):
     """Render all buffers. cam_to_worlds_flu [T, 4, 4] FLU camera poses in
-    the world frame; converted to OpenCV for ray generation."""
+    the world frame; converted to OpenCV for ray generation.
+    instance_ids: optional per-voxel ids aligned with world.ijk() (from
+    stamp_static_instances)."""
     ijk = world.ijk()
     sem = world.semantics
+    inst = instance_ids if instance_ids is not None else \
+        np.zeros(len(ijk), np.int32)
     if len(ijk) > device_capacity:
         sel = np.linspace(0, len(ijk) - 1, device_capacity).astype(int)
-        ijk, sem = ijk[sel], sem[sel]
+        ijk, sem, inst = ijk[sel], sem[sel], inst[sel]
     cap = 1 << int(np.ceil(np.log2(max(len(ijk), 2))))
     grid = grid_from_ijk(jnp.asarray(ijk, jnp.int32)[None],
                          jnp.ones((1, len(ijk)), bool),
                          jnp.asarray(world.voxel_size, jnp.float32),
                          jnp.asarray(world.origin, jnp.float32), capacity=cap)
-    # grid slots are sorted lexicographically by (i, j, k); align semantics
-    sem_sorted = sem[np.lexsort((ijk[:, 2], ijk[:, 1], ijk[:, 0]))]
+    # grid slots are sorted lexicographically by (i, j, k); align attributes
+    order = np.lexsort((ijk[:, 2], ijk[:, 1], ijk[:, 0]))
     sem_dev = jnp.zeros((cap,), jnp.int32).at[:len(ijk)].set(
-        jnp.asarray(sem_sorted, jnp.int32))
-    inst_dev = jnp.zeros((cap,), jnp.int32)
+        jnp.asarray(sem[order], jnp.int32))
+    inst_dev = jnp.zeros((cap,), jnp.int32).at[:len(ijk)].set(
+        jnp.asarray(inst[order], jnp.int32))
     poses_cv = np.stack([flu_to_opencv(p) for p in cam_to_worlds_flu])
     return generate_guidance_buffers(
         grid, sem_dev, inst_dev, camera, jnp.asarray(poses_cv, jnp.float32),
@@ -141,6 +165,9 @@ def write_preview_videos(output: Path, buffers: dict):
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--voxel_world", required=True)
+    ap.add_argument("--static_objects", default=None,
+                    help="json {gid: {object_to_world, object_lwh, "
+                         "object_id_int}} for parked-car instance ids")
     ap.add_argument("--poses", default=None,
                     help="npy [T,4,4] FLU poses; default: straight-line")
     ap.add_argument("--output", required=True)
@@ -161,7 +188,12 @@ def main(argv=None):
     poses = resample_trajectory(poses, args.num_frames, args.frame_offset,
                                 args.meter_offset)
     out = Path(args.output)
-    buffers = generate_buffers_for_world(world, poses)
+    inst = None
+    if args.static_objects:
+        import json
+        inst = stamp_static_instances(
+            world, json.loads(Path(args.static_objects).read_text()))
+    buffers = generate_buffers_for_world(world, poses, instance_ids=inst)
     write_buffer_tars(out, buffers, poses, DEFAULT_CAMERA)
     sem_rgb, coord = write_preview_videos(out, buffers)
 

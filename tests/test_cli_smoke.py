@@ -82,3 +82,23 @@ def test_evaluation_api():
         decode_fn=lambda z: ("ijk", "sem"))
     assert lat.shape == (1, 8, 8, 8, 2)
     assert dec == ("ijk", "sem")
+
+
+def test_static_instance_stamping():
+    from infinicube_tpu.inference.guidance_buffer_generation import (
+        stamp_static_instances)
+    w = WorldGrid(0.5)
+    # a car-shaped blob of CAR-class voxels at x~10 + road elsewhere
+    car_pts = np.stack([np.random.default_rng(0).uniform(8, 12, 100),
+                        np.random.default_rng(1).uniform(-1, 1, 100),
+                        np.random.default_rng(2).uniform(0, 1.5, 100)], -1)
+    w.merge_points(car_pts, np.full(100, 1))       # CAR
+    w.merge_points(np.array([[0.0, 0, 0]]), np.array([18]))  # ROAD
+    info = {"obj1": {"object_to_world": np.eye(4).tolist(),
+                     "object_lwh": [4.5, 2.0, 1.6], "object_id_int": 7}}
+    info["obj1"]["object_to_world"][0][3] = 10.0
+    info["obj1"]["object_to_world"][2][3] = 0.8
+    inst = stamp_static_instances(w, info)
+    sem = w.semantics
+    assert (inst[sem == 1] == 7).mean() > 0.5      # car voxels stamped
+    assert (inst[sem == 18] == 0).all()            # road untouched
