@@ -68,6 +68,24 @@ def load_buffer_folder(folder: str | Path, num_frames: int | None = None,
     return out
 
 
+def merge_buffer_folders(folders: list, num_frames: int | None = None,
+                         stride: int = 1) -> dict:
+    """Concatenate multiple recorded passes over the same scene into one
+    data dict (the reference's multi-pass merge, :830-898); the world grid is
+    taken from the first pass."""
+    parts = [load_buffer_folder(f, num_frames, stride) for f in folders]
+    out = {}
+    for k in ("depth", "instance", "semantic", "poses_cv", "Ks", "video"):
+        arrs = [p[k] for p in parts if p.get(k) is not None]
+        if arrs:
+            out[k] = np.concatenate(arrs, axis=0)
+    for p in parts:
+        if "world" in p:
+            out["world"] = p["world"]
+            break
+    return out
+
+
 def build_gsm_masks(depth: np.ndarray, instance: np.ndarray,
                     sky_seg: np.ndarray | None = None,
                     pixel_branch_last_n: int | None = None) -> np.ndarray:

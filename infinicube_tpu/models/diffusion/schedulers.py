@@ -172,13 +172,35 @@ def ddpm_sample(schedule: NoiseSchedule, model_fn: ModelFn, x_T: jnp.ndarray,
     return x
 
 
+def karras_timesteps(schedule: NoiseSchedule, num_steps: int,
+                     rho: float = 7.0) -> np.ndarray:
+    """Karras et al. sigma spacing mapped back to the discrete schedule's
+    timesteps (the reference DPM++'s use_karras_sigmas option)."""
+    a = np.asarray(schedule.alphas_cumprod)
+    sigmas = np.sqrt((1 - a) / a)
+    s_min, s_max = sigmas[0], sigmas[-1]
+    ramp = np.linspace(0, 1, num_steps)
+    ks = (s_max ** (1 / rho) + ramp * (s_min ** (1 / rho) -
+                                       s_max ** (1 / rho))) ** rho
+    # nearest discrete timestep per karras sigma, descending
+    ts = np.array([int(np.abs(sigmas - s).argmin()) for s in ks[::-1]])
+    return np.unique(ts)[::-1].copy()
+
+
 def dpmpp_sample(schedule: NoiseSchedule, model_fn: ModelFn, x_T: jnp.ndarray,
                  num_steps: int = 25, prediction_type: str = "v_prediction",
-                 step_callback=None) -> jnp.ndarray:
+                 step_callback=None, use_karras_sigmas: bool = False
+                 ) -> jnp.ndarray:
     """DPM-Solver++(2M): second-order multistep in log-SNR (lambda) space,
     data-prediction formulation. Matches the reference's multistep DPM++
-    sampler capability (schedulers/scheduling_dpmsolver_multistep.py)."""
-    ts = jnp.asarray(sampling_timesteps(schedule.num_train_timesteps, num_steps))
+    sampler capability (schedulers/scheduling_dpmsolver_multistep.py),
+    incl. the Karras sigma spacing option."""
+    if use_karras_sigmas:
+        ts = jnp.asarray(karras_timesteps(schedule, num_steps))
+        num_steps = int(ts.shape[0])
+    else:
+        ts = jnp.asarray(sampling_timesteps(schedule.num_train_timesteps,
+                                            num_steps))
     ts_prev = jnp.concatenate([ts[1:], jnp.array([-1])])
     a = schedule.alphas_cumprod
     B = x_T.shape[0]

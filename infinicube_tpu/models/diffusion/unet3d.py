@@ -175,7 +175,11 @@ class UNet3D(nn.Module):
     # memory <-> recompute trade, jax.checkpoint)
 
     @nn.compact
-    def __call__(self, x, t, context=None, deterministic: bool = True):
+    def __call__(self, x, t, context=None, y_emb=None,
+                 deterministic: bool = True):
+        """y_emb: optional f32[B, E] adm conditioning vector (class embedding
+        / pooled condition, reference num_classes path) added to the
+        timestep embedding."""
         ResBlock = nn.remat(ResBlock3D) if self.remat else ResBlock3D
         Transformer = nn.remat(SpatialTransformer3D) if self.remat \
             else SpatialTransformer3D
@@ -183,6 +187,9 @@ class UNet3D(nn.Module):
         emb = timestep_embedding(t, ch)
         emb = nn.Dense(4 * ch, dtype=self.dtype)(emb)
         emb = nn.Dense(4 * ch, dtype=self.dtype)(nn.silu(emb))
+        if y_emb is not None:
+            emb = emb + nn.Dense(4 * ch, dtype=self.dtype,
+                                 name="y_proj")(y_emb)
 
         x = x.astype(self.dtype)
         h = nn.Conv(ch, (3, 3, 3), dtype=self.dtype, name="in_conv")(x)

@@ -92,12 +92,14 @@ def posenc(x: jnp.ndarray, num_freqs: int) -> jnp.ndarray:
 
 
 class VoxelFeaturizer(nn.Module):
-    """posenc(world xyz) ⊕ semantic embedding -> c_dim features
-    (reference base_encoder.Encoder)."""
+    """posenc(world xyz) ⊕ semantic embedding [⊕ normal/intensity/color] ->
+    c_dim features (reference base_encoder.Encoder:25-94 with the
+    use_input_normal / use_input_intensity / use_input_color flags)."""
     cfg: SparseVAEConfig
 
     @nn.compact
-    def __call__(self, grid: Grid, semantics: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, grid: Grid, semantics: jnp.ndarray,
+                 extra_feats: jnp.ndarray | None = None) -> jnp.ndarray:
         xyz = grid.voxel_centers()
         # normalize by the crop extent for stable scales
         extent = jnp.asarray(self.cfg.neck_dims, jnp.float32) * \
@@ -105,7 +107,10 @@ class VoxelFeaturizer(nn.Module):
         pe = posenc(xyz / extent, self.cfg.posenc_freqs)
         sem = nn.Embed(self.cfg.num_semantic, self.cfg.sem_embed_dim)(
             jnp.clip(semantics, 0, self.cfg.num_semantic - 1))
-        h = nn.Dense(self.cfg.c_dim)(jnp.concatenate([pe, sem], axis=-1))
+        parts = [pe, sem]
+        if extra_feats is not None:
+            parts.append(extra_feats)  # per-voxel normals/intensity/color
+        h = nn.Dense(self.cfg.c_dim)(jnp.concatenate(parts, axis=-1))
         return jnp.where(grid.mask[..., None], h, 0.0)
 
 

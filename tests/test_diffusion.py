@@ -156,3 +156,12 @@ def test_sdedit_warp_and_callback():
     # at t=0, alphas_cumprod ~ 1 => overlap entries ~ prev latents
     np.testing.assert_allclose(np.asarray(out[0, :6]), 1.0, atol=0.05)
     np.testing.assert_allclose(np.asarray(out[0, 6:]), 0.0, atol=1e-6)
+
+
+def test_dpmpp_karras_sigmas():
+    s = NoiseSchedule.linear(1000)
+    c = 0.3
+    x_T = jax.random.normal(jax.random.PRNGKey(5), (1, 8))
+    out = dpmpp_sample(s, _perfect_model(s, c), x_T, num_steps=20,
+                       use_karras_sigmas=True)
+    np.testing.assert_allclose(np.asarray(out), c, atol=5e-2)
