@@ -16,12 +16,13 @@ import jax.numpy as jnp
 from infinicube_tpu.camera import projection as proj
 from infinicube_tpu.grid.grid import Grid
 from infinicube_tpu.grid.ops import occupancy_dense
-from infinicube_tpu.ops.raycast import dda_first_hit
+from infinicube_tpu.ops.raycast import (
+    dda_first_hit, manhattan_distance_transform)
 
 
-def _hit_indices(grid: Grid, occ, ijk_min, ray_o, ray_d):
+def _hit_indices(grid: Grid, occ, ijk_min, ray_o, ray_d, skip=None):
     hit = dda_first_hit(occ, ray_o, ray_d, grid.voxel_size, grid.origin,
-                        ijk_min)
+                        ijk_min, skip_dist=skip)
     idx = grid.ijk_to_index(hit.ijk[None], hit.hit[None])[0]
     return jnp.where(hit.hit, idx, -1)
 
@@ -35,12 +36,13 @@ def lift_features(grid: Grid, feats: jnp.ndarray, Ks: jnp.ndarray,
     Returns f32[1, C, F] voxel features."""
     V, H, W, F = feats.shape
     occ = occupancy_dense(grid, ijk_min, dense_dims)[0]
+    skip = manhattan_distance_transform(occ)
     C = grid.capacity
 
     def per_view(K, pose, f):
         ro, rd = proj.posed_rays_from_intrinsics(K, pose, (H, W))
         idx = _hit_indices(grid, occ, ijk_min, ro.reshape(-1, 3),
-                           rd.reshape(-1, 3))
+                           rd.reshape(-1, 3), skip)
         fl = f.reshape(-1, F)
         safe = jnp.where(idx >= 0, idx, C)
         s = jnp.zeros((C + 1, F)).at[safe].add(
@@ -62,6 +64,7 @@ def visible_voxel_mask(grid: Grid, Ks: jnp.ndarray, cam_to_worlds: jnp.ndarray,
     occ-front visible set, voxel_util.py:432 with max_height=2400 pseudo
     resolution — here a configurable raycast resolution)."""
     occ = occupancy_dense(grid, ijk_min, dense_dims)[0]
+    skip = manhattan_distance_transform(occ)
 
     def per_view(K, pose):
         h, w = ray_hw
@@ -69,7 +72,7 @@ def visible_voxel_mask(grid: Grid, Ks: jnp.ndarray, cam_to_worlds: jnp.ndarray,
             h / (2.0 * K[1, 2]))
         ro, rd = proj.posed_rays_from_intrinsics(Ks_scaled, pose, ray_hw)
         idx = _hit_indices(grid, occ, ijk_min, ro.reshape(-1, 3),
-                           rd.reshape(-1, 3))
+                           rd.reshape(-1, 3), skip)
         vis = jnp.zeros((grid.capacity + 1,), bool).at[
             jnp.where(idx >= 0, idx, grid.capacity)].set(True)
         return vis[:grid.capacity]
@@ -84,12 +87,14 @@ def voxel_depth_prior(grid: Grid, Ks: jnp.ndarray, cam_to_worlds: jnp.ndarray,
     ``voxel_depth`` prior (reference dav2_encoder.get_voxel_depth:35-155 /
     gsm voxel_preprocess). Returns f32[V, H, W, 1] (0 = no hit)."""
     occ = occupancy_dense(grid, ijk_min, dense_dims)[0]
+    skip = manhattan_distance_transform(occ)
     h, w = image_hw
 
     def per_view(K, pose):
         ro, rd = proj.posed_rays_from_intrinsics(K, pose, image_hw)
         hit = dda_first_hit(occ, ro.reshape(-1, 3), rd.reshape(-1, 3),
-                            grid.voxel_size, grid.origin, ijk_min)
+                            grid.voxel_size, grid.origin, ijk_min,
+                            skip_dist=skip)
         cos = rd.reshape(-1, 3) @ pose[:3, 2]
         return jnp.where(hit.hit, hit.t_entry * cos, 0.0).reshape(h, w, 1)
 
