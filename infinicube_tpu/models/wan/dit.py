@@ -41,6 +41,7 @@ LOGICAL_RULES = (
     ("patch", None),
     ("text", None),
     ("out", None),
+    ("layers", None),  # stacked-block axis under scan_layers
 )
 
 
@@ -58,6 +59,9 @@ class WanDiTConfig:
     buffer_channels: int = 32       # 2 x VAE-encoded buffer videos
     use_buffer_embedder: bool = True
     dtype: Any = jnp.bfloat16
+    scan_layers: bool = False       # nn.scan over blocks: one traced block
+    # instead of num_layers copies (compile time / HLO size); param layout
+    # gains a leading layer axis (weight converters assume per-block names)
 
     @staticmethod
     def wan_1_3b(**kw) -> "WanDiTConfig":
@@ -213,8 +217,23 @@ class WanDiT(nn.Module):
                     approximate=True))
 
         angles = rope_3d((gt, gh, gw), cfg.dim // cfg.num_heads)
-        for i in range(cfg.num_layers):
-            x = WanBlock(cfg, name=f"block{i}")(x, t_mod, ctx, angles)
+        if cfg.scan_layers:
+            class _Body(nn.Module):
+                cfg: WanDiTConfig
+
+                @nn.compact
+                def __call__(self, h, t_mod, ctx, ang):
+                    return WanBlock(self.cfg)(h, t_mod, ctx, ang), None
+
+            ScanBlock = nn.scan(
+                _Body, variable_axes={"params": 0},
+                split_rngs={"params": True}, length=cfg.num_layers,
+                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+                metadata_params={nn.PARTITION_NAME: "layers"})
+            x, _ = ScanBlock(cfg, name="blocks")(x, t_mod, ctx, angles)
+        else:
+            for i in range(cfg.num_layers):
+                x = WanBlock(cfg, name=f"block{i}")(x, t_mod, ctx, angles)
 
         # final adaLN + unpatchify (zero-init head)
         fin = nn.Dense(2 * cfg.dim, name="final_mod")(nn.silu(te))

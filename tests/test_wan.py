@@ -140,3 +140,19 @@ def test_wan_train_loss_and_grads():
     g = jax.tree.reduce(lambda a, b: a + float(jnp.sum(jnp.abs(b))),
                         grads["dit"], 0.0)
     assert g > 0
+
+
+def test_dit_scan_layers_variant():
+    import dataclasses
+    cfg = dataclasses.replace(tiny_dit(), scan_layers=True)
+    model = WanDiT(cfg)
+    rng = jax.random.PRNGKey(0)
+    lat = jax.random.normal(rng, (1, 2, 4, 4, 4))
+    txt = jax.random.normal(jax.random.fold_in(rng, 2), (1, 5, 32))
+    t = jnp.array([100.0])
+    params = model.init(rng, lat, t, txt, None)
+    out = model.apply(params, lat, t, txt, None)
+    assert out.shape == (1, 2, 4, 4, 4)
+    # params carry a stacked layer axis
+    leaf = jax.tree.leaves(params["params"]["blocks"])[0]
+    assert leaf.shape[0] == cfg.num_layers
