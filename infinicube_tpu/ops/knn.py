@@ -107,6 +107,19 @@ def semantic_from_points(query: jnp.ndarray, ref: jnp.ndarray,
     return jnp.argmax(votes, -1).astype(ref_semantics.dtype)
 
 
+def latent_semantic_from_grid(fine_grid, fine_semantics: jnp.ndarray,
+                              coarse_grid, k: int = 1) -> jnp.ndarray:
+    """Per-voxel semantics for a coarse/latent grid by KNN transfer from the
+    finest grid's labeled voxel centers (the reference's LATENT_SEMANTIC path,
+    base_model.py:674-699 via color_util.semantic_from_points).
+
+    Batch-1 grids; fine_semantics int32[C_fine]. Returns int32[C_coarse]."""
+    q = coarse_grid.voxel_centers()[0]
+    r = fine_grid.voxel_centers()[0]
+    return semantic_from_points(q, r, fine_semantics,
+                                ref_mask=fine_grid.mask[0], k=k)
+
+
 def color_from_points(query: jnp.ndarray, ref: jnp.ndarray,
                       ref_colors: jnp.ndarray,
                       ref_mask: jnp.ndarray | None = None,

@@ -57,3 +57,16 @@ def test_host_kdtree_matches_numpy():
     d2, i2 = knn_query(q, r[:10], k=2)
     dn2, iN2 = ref_knn(q, r[:10], 2)
     np.testing.assert_array_equal(i2, iN2)
+
+
+def test_latent_semantic_from_grid():
+    from infinicube_tpu.grid import grid_from_ijk, coarsened_grid
+    from infinicube_tpu.ops.knn import latent_semantic_from_grid
+    ijk = jnp.array([[[0, 0, 0], [1, 0, 0], [4, 4, 0], [5, 4, 0]]], jnp.int32)
+    g = grid_from_ijk(ijk, jnp.ones((1, 4), bool), 1.0, 0.0, capacity=8)
+    sem = jnp.zeros((8,), jnp.int32).at[:2].set(3).at[2:4].set(7)
+    gc = coarsened_grid(g, (2, 2, 2), capacity=8)
+    out = latent_semantic_from_grid(g, sem, gc)
+    n = int(gc.num_voxels[0])
+    got = set(np.asarray(out[:n]).tolist())
+    assert got == {3, 7}
