@@ -111,7 +111,18 @@ def convert_wan_block(sd: Mapping, i: int) -> dict:
     return blk
 
 
-def convert_wan_dit(sd: Mapping, num_layers: int) -> dict:
+def stack_blocks(blocks: list[dict]) -> dict:
+    """Stack per-block param trees along a leading layer axis (the
+    scan_layers=True layout)."""
+    def rec(trees):
+        if isinstance(trees[0], dict):
+            return {k: rec([t[k] for t in trees]) for k in trees[0]}
+        return np.stack(trees)
+    return rec(blocks)
+
+
+def convert_wan_dit(sd: Mapping, num_layers: int,
+                    scan_layers: bool = True) -> dict:
     params = {
         "patch_embed": _patchify_conv(sd, "patch_embedding"),
         "t_proj1": convert_linear(sd, "time_embedding.0"),
@@ -124,8 +135,12 @@ def convert_wan_dit(sd: Mapping, num_layers: int) -> dict:
     }
     if "buffer_embedding.weight" in sd:
         params["buffer_embed"] = _patchify_conv(sd, "buffer_embedding")
-    for i in range(num_layers):
-        params[f"block{i}"] = convert_wan_block(sd, i)
+    blocks = [convert_wan_block(sd, i) for i in range(num_layers)]
+    if scan_layers:
+        params["blocks"] = {"WanBlock_0": stack_blocks(blocks)}
+    else:
+        for i, b in enumerate(blocks):
+            params[f"block{i}"] = b
     return {"params": params}
 
 
