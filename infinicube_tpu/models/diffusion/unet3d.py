@@ -140,15 +140,32 @@ class SpatialTransformer3D(nn.Module):
     depth: int
     num_heads: int
     dtype: jnp.dtype = jnp.float32
+    scan_blocks: bool = True   # nn.scan the identical blocks (compile time)
 
     @nn.compact
     def __call__(self, x, context=None):
         B, D, H, W, C = x.shape
         h = GroupNorm32()(x).reshape(B, -1, C)
         h = nn.Dense(C, dtype=self.dtype, name="proj_in")(h)
-        for i in range(self.depth):
-            h = TransformerBlock(self.num_heads, self.dtype,
-                                 name=f"block{i}")(h, context)
+        if self.scan_blocks and self.depth > 1 and context is None:
+            class _Body(nn.Module):
+                num_heads: int
+                dtype: jnp.dtype
+
+                @nn.compact
+                def __call__(self, z):
+                    return TransformerBlock(self.num_heads,
+                                            self.dtype)(z, None), None
+
+            Scan = nn.scan(_Body, variable_axes={"params": 0},
+                           split_rngs={"params": True}, length=self.depth,
+                           metadata_params={nn.PARTITION_NAME: "layers"})
+            h, _ = Scan(self.num_heads, self.dtype, name="blocks")(
+                h.astype(self.dtype))
+        else:
+            for i in range(self.depth):
+                h = TransformerBlock(self.num_heads, self.dtype,
+                                     name=f"block{i}")(h, context)
         h = nn.Dense(C, dtype=self.dtype, kernel_init=nn.initializers.zeros,
                      name="proj_out")(h)
         return x + h.reshape(B, D, H, W, C)
