@@ -116,3 +116,13 @@ def test_train_cli_smoke(tmp_path):
           "diffusion.num_res_blocks=1", "diffusion.num_heads=2",
           "diffusion.transformer_depth=1", "diffusion.num_map_types=2"])
     assert (tmp_path / "smoke.jsonl").exists()
+
+
+def test_resolve_checkpoint_paths(tmp_path):
+    from infinicube_tpu.utils.run_resolve import resolve_checkpoint
+    (tmp_path / "ckpt_5.npz").write_bytes(b"x")
+    (tmp_path / "ckpt_9.npz").write_bytes(b"x")
+    assert resolve_checkpoint(f"tb:{tmp_path}").name == "ckpt_9.npz"
+    assert resolve_checkpoint("/some/local/path").name == "path"
+    with pytest.raises(FileNotFoundError):
+        resolve_checkpoint(f"tb:{tmp_path}/empty")
