@@ -99,7 +99,16 @@ def rope_3d(thw: tuple[int, int, int], head_dim: int) -> jnp.ndarray:
 
 
 def apply_rope(x: jnp.ndarray, angles: jnp.ndarray) -> jnp.ndarray:
-    """x [B, N, h, d]; angles [N, d//2]."""
+    """x [B, N, h, d]; angles [N, d//2].
+
+    Rotates HALF-SPLIT pairs (x[j], x[j + d/2]) by angles[j] — the fast TPU
+    layout (two contiguous slices instead of a stride-2 de-interleave).
+    Upstream Wan2.1 rotates INTERLEAVED pairs (x[2j], x[2j+1]) via
+    view_as_complex; the two are equivalent under a fixed per-head channel
+    permutation [evens..., odds...] applied to the q/k projection outputs,
+    which `weights.convert._rope_interleave_to_halfsplit` applies when
+    converting pretrained checkpoints (attention dot products are invariant
+    to any channel permutation applied to q and k alike)."""
     d = x.shape[-1]
     x1, x2 = x[..., : d // 2], x[..., d // 2:]
     cos = jnp.cos(angles)[None, :, None, :]
@@ -128,10 +137,13 @@ class WanAttention(nn.Module):
         q = _dense(C, ("embed_in", "heads"), "q", cfg.dtype)(x)
         k = _dense(C, ("embed_in", "heads"), "k", cfg.dtype)(kv_in)
         v = _dense(C, ("embed_in", "heads"), "v", cfg.dtype)(kv_in)
-        q = nn.RMSNorm(dtype=jnp.float32, name="q_norm")(
-            q.reshape(B, -1, h, hd))
-        k = nn.RMSNorm(dtype=jnp.float32, name="k_norm")(
-            k.reshape(B, -1, h, hd))
+        # Wan applies RMSNorm over the FULL dim (all heads at once) before
+        # the head reshape — upstream WanSelfAttention norm_q(self.q(x)) on
+        # [B, L, dim]; per-head normalization would change the denominator.
+        q = nn.RMSNorm(dtype=jnp.float32, name="q_norm")(q).reshape(
+            B, -1, h, hd)
+        k = nn.RMSNorm(dtype=jnp.float32, name="k_norm")(k).reshape(
+            B, -1, h, hd)
         v = v.reshape(B, -1, h, hd)
         if not self.cross and rope_angles is not None:
             q = apply_rope(q, rope_angles)
@@ -239,9 +251,14 @@ class WanDiT(nn.Module):
             for i in range(cfg.num_layers):
                 x = WanBlock(cfg, name=f"block{i}")(x, t_mod, ctx, angles)
 
-        # final adaLN + unpatchify (zero-init head)
-        fin = nn.Dense(2 * cfg.dim, name="final_mod")(nn.silu(te))
-        sh, sc = jnp.split(fin[:, None, :], 2, axis=-1)
+        # final adaLN + unpatchify (zero-init head).  Wan's Head computes
+        # shift, scale = (head.modulation + t_emb).chunk(2, dim=1) with the
+        # RAW time embedding (no extra silu/Linear) — keep that exact math so
+        # converted checkpoints modulate the output head correctly.
+        head_mod = self.param("head_mod", nn.initializers.zeros,
+                              (2, cfg.dim))
+        fin = head_mod[None] + te[:, None, :].astype(jnp.float32)
+        sh, sc = fin[:, 0][:, None, :], fin[:, 1][:, None, :]
         x = nn.LayerNorm(use_bias=False, use_scale=False,
                          dtype=jnp.float32)(x) * (1 + sc) + sh
         out_dim = pt * ph * pw * cfg.out_channels

@@ -83,17 +83,44 @@ def convert_embedding(sd: Mapping, prefix: str) -> dict:
 # Wan DiT block mapping (DiffSynth naming -> models.wan.dit naming)
 # ---------------------------------------------------------------------------
 
-def convert_wan_block(sd: Mapping, i: int) -> dict:
+def _rope_interleave_to_halfsplit(vec_or_kernel: np.ndarray,
+                                  num_heads: int) -> np.ndarray:
+    """Permute q/k output channels from Wan's interleaved RoPE-pair layout
+    to this framework's half-split layout (dit.apply_rope).
+
+    Upstream rotates complex pairs (c[2j], c[2j+1]) per head; we rotate
+    (c[j], c[j+d/2]).  Reordering each head's channels [evens..., odds...]
+    maps one onto the other, and is transparent to attention because q and k
+    are permuted identically (dot products unchanged) while v/o stay put.
+    Works on Dense kernels [I, h*d] (last axis = output channels), biases
+    [h*d], and RMSNorm scales [h*d]."""
+    x = np.asarray(vec_or_kernel)
+    hd = x.shape[-1] // num_heads
+    perm = np.concatenate([np.arange(0, hd, 2), np.arange(1, hd, 2)])
+    shaped = x.reshape(x.shape[:-1] + (num_heads, hd))
+    return shaped[..., perm].reshape(x.shape)
+
+
+def convert_wan_block(sd: Mapping, i: int, num_heads: int) -> dict:
     """One DiffSynth WanModel block -> WanBlock params."""
     p = f"blocks.{i}"
+
+    def rope_linear(prefix):
+        out = convert_linear(sd, prefix)
+        out = {k: _rope_interleave_to_halfsplit(v, num_heads)
+               for k, v in out.items()}
+        return out
+
     blk = {
         "self_attn": {
-            "q": convert_linear(sd, f"{p}.self_attn.q"),
-            "k": convert_linear(sd, f"{p}.self_attn.k"),
+            "q": rope_linear(f"{p}.self_attn.q"),
+            "k": rope_linear(f"{p}.self_attn.k"),
             "v": convert_linear(sd, f"{p}.self_attn.v"),
             "o": convert_linear(sd, f"{p}.self_attn.o"),
-            "q_norm": {"scale": t2j(sd[f"{p}.self_attn.norm_q.weight"])},
-            "k_norm": {"scale": t2j(sd[f"{p}.self_attn.norm_k.weight"])},
+            "q_norm": {"scale": _rope_interleave_to_halfsplit(
+                t2j(sd[f"{p}.self_attn.norm_q.weight"]), num_heads)},
+            "k_norm": {"scale": _rope_interleave_to_halfsplit(
+                t2j(sd[f"{p}.self_attn.norm_k.weight"]), num_heads)},
         },
         "cross_attn": {
             "q": convert_linear(sd, f"{p}.cross_attn.q"),
@@ -121,7 +148,7 @@ def stack_blocks(blocks: list[dict]) -> dict:
     return rec(blocks)
 
 
-def convert_wan_dit(sd: Mapping, num_layers: int,
+def convert_wan_dit(sd: Mapping, num_layers: int, num_heads: int,
                     scan_layers: bool = True) -> dict:
     params = {
         "patch_embed": _patchify_conv(sd, "patch_embedding"),
@@ -131,11 +158,13 @@ def convert_wan_dit(sd: Mapping, num_layers: int,
         "text_proj_in": convert_linear(sd, "text_embedding.0"),
         "text_proj": convert_linear(sd, "text_embedding.2"),
         "head": convert_linear(sd, "head.head"),
-        "final_mod": _final_mod(sd),
+        # Wan's Head computes (modulation + t_emb).chunk(2); head_mod is that
+        # [2, dim] parameter verbatim (dit.py adds the raw time embedding).
+        "head_mod": t2j(sd["head.modulation"]).reshape(2, -1),
     }
     if "buffer_embedding.weight" in sd:
         params["buffer_embed"] = _patchify_conv(sd, "buffer_embedding")
-    blocks = [convert_wan_block(sd, i) for i in range(num_layers)]
+    blocks = [convert_wan_block(sd, i, num_heads) for i in range(num_layers)]
     if scan_layers:
         params["blocks"] = {"WanBlock_0": stack_blocks(blocks)}
     else:
@@ -155,16 +184,6 @@ def _patchify_conv(sd: Mapping, prefix: str) -> dict:
     if f"{prefix}.bias" in sd:
         out["bias"] = t2j(sd[f"{prefix}.bias"])
     return out
-
-
-def _final_mod(sd: Mapping) -> dict:
-    """Wan stores the head modulation as a [2, dim] parameter added to the
-    time embedding; our final_mod Dense(2*dim) absorbs it as bias with a
-    zero kernel contribution plus the head_norm..."""
-    m = t2j(sd["head.modulation"]).reshape(2, -1)
-    dim = m.shape[1]
-    return {"kernel": np.zeros((dim, 2 * dim), np.float32),
-            "bias": m.reshape(-1)}
 
 
 def load_torch_state_dict(path: str) -> dict:
