@@ -186,6 +186,23 @@ def _patchify_conv(sd: Mapping, prefix: str) -> dict:
     return out
 
 
+def initialize_buffer_embedder(dit_params: dict, cfg) -> dict:
+    """Zero-init the buffer-embedder patchifier into converted DiT params —
+    the InfiniCube fork's ``initialize_buffer_embedder(buffer_channels=16,
+    zero_init=True)`` (/root/reference/infinicube/videogen/inference.py:84-88)
+    applied to a vanilla Wan2.1 T2V checkpoint: the pretrained model is
+    untouched at init because the added embedding starts at zero."""
+    p = dict(dit_params["params"])
+    if "buffer_embed" not in p:
+        pt, ph, pw = cfg.patch_size
+        in_dim = pt * ph * pw * cfg.buffer_channels
+        p["buffer_embed"] = {
+            "kernel": np.zeros((in_dim, cfg.dim), np.float32),
+            "bias": np.zeros((cfg.dim,), np.float32),
+        }
+    return {**dit_params, "params": p}
+
+
 def load_torch_state_dict(path: str) -> dict:
     """Load a .ckpt/.pt/.safetensors state dict."""
     if str(path).endswith(".safetensors"):

@@ -73,3 +73,27 @@ def test_rope_permutation_preserves_attention_logits():
     logits = np.einsum("qhd,khd->hqk", per_head(q), per_head(k))
     logits_p = np.einsum("qhd,khd->hqk", per_head(qp), per_head(kp))
     np.testing.assert_allclose(logits, logits_p, atol=1e-5)
+
+
+def test_initialize_buffer_embedder_on_vanilla_checkpoint():
+    """A plain T2V checkpoint (no buffer_embedding keys) + zero-init embedder
+    must produce the identical output as the unconditioned model (reference
+    initialize_buffer_embedder zero_init=True semantics)."""
+    from infinicube_tpu.weights.convert import initialize_buffer_embedder
+    torch.manual_seed(0)
+    mirror = WanModelMirror(dim=64, ffn_dim=128, num_layers=2, num_heads=2,
+                            in_dim=4, out_dim=4, text_dim=32, freq_dim=32,
+                            buffer_dim=None).eval()
+    cfg = _tiny_cfg(scan_layers=True)
+    params = convert_wan_dit(mirror.state_dict(), num_layers=2, num_heads=2)
+    params = initialize_buffer_embedder(params, cfg)
+
+    rng = np.random.default_rng(0)
+    lat = jnp.asarray(rng.normal(size=(1, 2, 4, 6, 4)), jnp.float32)
+    txt = jnp.asarray(rng.normal(size=(1, 5, 32)), jnp.float32)
+    buf = jnp.asarray(rng.normal(size=(1, 2, 4, 6, 6)), jnp.float32)
+    t = jnp.asarray([100.0])
+    with_buf = WanDiT(cfg).apply(params, lat, t, txt, buf)
+    without = WanDiT(cfg).apply(params, lat, t, txt, None)
+    np.testing.assert_allclose(np.asarray(with_buf), np.asarray(without),
+                               atol=1e-6)
