@@ -78,9 +78,112 @@ def remove_car_points(points: np.ndarray, semantics: np.ndarray):
     return points[keep], semantics[keep]
 
 
+def _read_polylines(root: Path, clip: str, kind: str) -> list:
+    """[Ni, 3] world polylines from a 3d_{kind}/{clip}.tar written by
+    waymo2shards (member '{kind}.json'); [] when absent."""
+    tar = root / f"3d_{kind}" / f"{clip}.tar"
+    if not tar.exists():
+        return []
+    with TarReader(tar) as r:
+        name = f"{kind}.json"
+        if name not in r:
+            return []
+        polys = decode_member("json", r.read(name))
+    return [np.asarray(p, np.float32) for p in polys if len(p) >= 2]
+
+
+def generate_discrete_map_points(root: Path, clip: str,
+                                 spacing: float = 0.25) -> dict:
+    """3d_{lane,road_edge,road_line} polylines -> 0.25 m discrete point tars
+    3d_{kind}_voxelsize_025/{clip}.tar member '{kind}.npy' (reference :228),
+    plus the 0.4 m road surface tar (reference :299). Returns the point
+    arrays (also used by the car-removed cloud below)."""
+    from infinicube_tpu.data_process.road_surface import (
+        densify_polylines, estimate_road_surface)
+    out = {}
+    for kind in ("lane", "road_edge", "road_line"):
+        polys = _read_polylines(root, clip, kind)
+        pts = densify_polylines(polys, spacing) if polys else \
+            np.zeros((0, 3), np.float32)
+        pts = discretize_points(pts.astype(np.float32), spacing)
+        out[kind] = pts
+        with TarWriter(root / f"3d_{kind}_voxelsize_025" /
+                       f"{clip}.tar") as w:
+            w.add(f"{kind}.npy", encode_member("npy", pts))
+    edge_polys = _read_polylines(root, clip, "road_edge")
+    if len(out["lane"]) and edge_polys:
+        surface = estimate_road_surface(edge_polys, lattice_spacing=0.4)
+    else:
+        surface = np.zeros((0, 3), np.float32)
+    out["road_surface"] = surface.astype(np.float32)
+    with TarWriter(root / "3d_road_surface_voxelsize_04" /
+                   f"{clip}.tar") as w:
+        w.add("road_surface.npy", encode_member("npy", out["road_surface"]))
+    return out
+
+
+def car_removed_cloud(points: np.ndarray, semantics: np.ndarray,
+                      map_points: dict) -> tuple[np.ndarray, np.ndarray]:
+    """Map-augmented car-removed scene cloud (reference :346-414): append
+    road-line points as LANE_MARKER semantics, drop car/pedestrian points
+    (CAD models re-add them in the dataloader)."""
+    from infinicube_tpu.utils.semantic import WAYMO_CATEGORY_NAMES
+    road_line = map_points.get("road_line", np.zeros((0, 3), np.float32))
+    lane_marker = WAYMO_CATEGORY_NAMES.index("LANE_MARKER")
+    pts = np.concatenate([points, road_line]).astype(np.float32)
+    sem = np.concatenate([semantics,
+                          np.full(len(road_line), lane_marker, np.int32)])
+    pts, sem = remove_car_points(pts, sem)
+    return pts, sem
+
+
+def generate_voxel_buffers(root: Path, clip: str, poses: np.ndarray,
+                           K: np.ndarray, hw: tuple[int, int],
+                           points: np.ndarray, semantics: np.ndarray,
+                           voxel_size: float = 0.2,
+                           capacity: int = 1 << 20):
+    """Voxel depth/semantic/instance buffer tars at 0.2 m (reference :417):
+    voxelize the accumulated car-removed cloud and splat-render every frame.
+    Writes voxel_depth_100 (uint16, x100), semantic_buffer and
+    instance_buffer (uint16) tars."""
+    from infinicube_tpu.grid.build import grid_from_points
+    from infinicube_tpu.utils.buffers import generate_guidance_buffers
+    from infinicube_tpu.grid.ops import majority_label
+
+    pts = jnp.asarray(points, jnp.float32)[None]
+    mask = jnp.ones(pts.shape[:2], bool)
+    origin = jnp.asarray(points.mean(0) if len(points) else np.zeros(3),
+                         jnp.float32)
+    grid = grid_from_points(pts, mask, voxel_size, origin, capacity=capacity)
+    vox_sem = majority_label(grid, pts, jnp.asarray(semantics, jnp.int32
+                                                    )[None], mask, 23)
+    cam = PinholeCamera.from_intrinsics_matrix(K, hw[1], hw[0])
+    bufs = generate_guidance_buffers(
+        grid, vox_sem[0], jnp.zeros_like(vox_sem[0]), cam,
+        jnp.asarray(poses, jnp.float32))
+    depth = np.asarray(bufs["depth"])
+    sem = np.asarray(bufs["semantic"])
+    inst = np.asarray(bufs["instance"])
+    with TarWriter(root / "voxel_depth_100" / f"{clip}.tar") as wd, \
+            TarWriter(root / "semantic_buffer" / f"{clip}.tar") as ws, \
+            TarWriter(root / "instance_buffer" / f"{clip}.tar") as wi:
+        for i in range(depth.shape[0]):
+            key = f"{i:06d}.png"
+            wd.add(key, encode_member(
+                "png", np.clip(depth[i] * 100, 0, 65535).astype(np.uint16)))
+            ws.add(key, encode_member(
+                "png", sem[i].astype(np.uint16)))
+            wi.add(key, encode_member(
+                "png", inst[i].astype(np.uint16)))
+
+
 def process_clip(root: Path, clip: str, camera: PinholeCamera | None = None,
-                 write_buffers: bool = True):
-    """Generate skymask + lidar_depth (+ optional voxel buffers) tars."""
+                 write_buffers: bool = True, write_map_attrs: bool = True,
+                 buffer_capacity: int = 1 << 20):
+    """Generate the full per-clip attribute set (reference :65-417):
+    skymask, lidar_depth, discretized map points + road surface,
+    map-augmented car-removed cloud, and (write_buffers) the voxel
+    depth/semantic/instance buffers."""
     readers = {a: TarReader(root / a / f"{clip}.tar")
                for a in ("pose", "intrinsic", "pc")
                if (root / a / f"{clip}.tar").exists()}
@@ -89,6 +192,12 @@ def process_clip(root: Path, clip: str, camera: PinholeCamera | None = None,
     frames = sorted({n.partition(".")[0] for n in readers["pose"].names()})
     out_sky = TarWriter(root / "skymask" / f"{clip}.tar")
     out_dep = TarWriter(root / "lidar_depth" / f"{clip}.tar")
+    map_points = generate_discrete_map_points(root, clip) \
+        if write_map_attrs else {}
+    out_nocar = TarWriter(root / "pc_with_map_without_car" / f"{clip}.tar")
+    all_pts, all_sem = [], []
+    poses, K0 = [], None
+    hw = None
     try:
         for key in frames:
             pose = np.asarray(decode_member(
@@ -106,13 +215,31 @@ def process_clip(root: Path, clip: str, camera: PinholeCamera | None = None,
                 "png", sky_mask(img, depth)))
             out_dep.add(f"{key}.png", encode_member(
                 "png", np.clip(depth * 100, 0, 65535).astype(np.uint16)))
+            sem = np.asarray(pc.get("semantic",
+                                    np.zeros(len(pc["xyz"]), np.int32)))
+            pts_nc, sem_nc = car_removed_cloud(
+                np.asarray(pc["xyz"], np.float32), sem.astype(np.int32),
+                map_points)
+            out_nocar.add(f"{key}.npz", encode_member(
+                "npz", {"xyz": pts_nc, "semantic": sem_nc}))
+            all_pts.append(pts_nc)
+            all_sem.append(sem_nc)
+            poses.append(pose)
+            K0 = K if K0 is None else K0
+            hw = (cam.h, cam.w)
     finally:
         out_sky.close()
         out_dep.close()
+        out_nocar.close()
         for r in readers.values():
             r.close()
         if img_reader:
             img_reader.close()
+    if write_buffers and all_pts and K0 is not None:
+        generate_voxel_buffers(
+            root, clip, np.stack(poses), K0, hw,
+            np.concatenate(all_pts), np.concatenate(all_sem),
+            capacity=buffer_capacity)
 
 
 def main(argv=None):

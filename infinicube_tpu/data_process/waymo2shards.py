@@ -40,6 +40,100 @@ class FrameRecord:
     point_semantics: np.ndarray              # [N]
     objects: dict                            # gid -> {pose, lwh, type}
     map_points: dict                         # type -> [M, 3]
+    # type -> list of [Ni, 3] world polylines (lane / road_edge / road_line);
+    # populated on the first frame only (map features are per-segment)
+    map_polylines: dict | None = None
+
+
+# ---------------------------------------------------------------------------
+# Range-image decoding — pure numpy mirrors of the waymo-open-dataset
+# frame_utils math (reference waymo2webdataset.py:233-246 calls
+# frame_utils.convert_range_image_to_point_cloud; these reimplementations are
+# testable without the TF/waymo env).
+# ---------------------------------------------------------------------------
+
+def rpy_to_matrix(rpy: np.ndarray) -> np.ndarray:
+    """[..., 3] (roll, pitch, yaw) -> [..., 3, 3], R = Rz(yaw)Ry(pitch)Rx(roll)."""
+    roll, pitch, yaw = rpy[..., 0], rpy[..., 1], rpy[..., 2]
+    cr, sr = np.cos(roll), np.sin(roll)
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    R = np.empty(rpy.shape[:-1] + (3, 3), np.float64)
+    R[..., 0, 0] = cy * cp
+    R[..., 0, 1] = cy * sp * sr - sy * cr
+    R[..., 0, 2] = cy * sp * cr + sy * sr
+    R[..., 1, 0] = sy * cp
+    R[..., 1, 1] = sy * sp * sr + cy * cr
+    R[..., 1, 2] = sy * sp * cr - cy * sr
+    R[..., 2, 0] = -sp
+    R[..., 2, 1] = cp * sr
+    R[..., 2, 2] = cp * cr
+    return R
+
+
+def range_image_polar_angles(H: int, W: int, extrinsic: np.ndarray,
+                             beam_inclinations: np.ndarray):
+    """(inclination [H], azimuth [W]) of range-image pixels.
+
+    Waymo convention: rows top-to-bottom = inclinations reversed
+    (calibration lists them bottom-to-top); columns sweep azimuth right-to-
+    left over [-pi, pi) corrected by the sensor extrinsic's yaw."""
+    az_correction = np.arctan2(extrinsic[1, 0], extrinsic[0, 0])
+    ratios = (np.arange(W, dtype=np.float64)[::-1] + 0.5) / W
+    azimuth = (ratios * 2.0 - 1.0) * np.pi - az_correction
+    inclination = np.asarray(beam_inclinations, np.float64)[::-1]
+    assert inclination.shape[0] == H
+    return inclination, azimuth
+
+
+def range_image_to_points(range_img: np.ndarray, extrinsic: np.ndarray,
+                          beam_inclinations: np.ndarray,
+                          pixel_pose: np.ndarray | None = None,
+                          frame_pose: np.ndarray | None = None):
+    """Spherical range image -> vehicle-frame cartesian points.
+
+    range_img f32[H, W] (channel 0 of the waymo range image; <=0 = no
+    return); extrinsic [4,4] sensor->vehicle; beam_inclinations [H]
+    bottom-to-top (waymo calibration order); pixel_pose optional [H, W, 6]
+    (roll, pitch, yaw, x, y, z) per-pixel vehicle->world transforms for the
+    rolling-shutter-corrected TOP lidar — when given, frame_pose [4,4]
+    brings the world points back into this frame's vehicle frame.
+
+    Returns (points f32[N, 3] vehicle frame, valid bool[H, W])."""
+    H, W = range_img.shape
+    inclination, azimuth = range_image_polar_angles(
+        H, W, extrinsic, beam_inclinations)
+    incl = inclination[:, None]
+    az = azimuth[None, :]
+    r = range_img.astype(np.float64)
+    x = r * np.cos(incl) * np.cos(az)
+    y = r * np.cos(incl) * np.sin(az)
+    z = r * np.sin(incl)
+    sensor = np.stack([x, y, z], axis=-1)                       # [H, W, 3]
+    vehicle = sensor @ extrinsic[:3, :3].T + extrinsic[:3, 3]
+    if pixel_pose is not None:
+        Rp = rpy_to_matrix(pixel_pose[..., :3])                 # [H, W, 3, 3]
+        tp = pixel_pose[..., 3:]
+        world = np.einsum("hwij,hwj->hwi", Rp, vehicle) + tp
+        inv = np.linalg.inv(frame_pose)
+        vehicle = world @ inv[:3, :3].T + inv[:3, 3]
+    valid = range_img > 0
+    return vehicle[valid].astype(np.float32), valid
+
+
+def waymo_box_to_pose_lwh(center_vcs: np.ndarray, heading: float,
+                          dims_lwh: np.ndarray,
+                          vehicle_to_world: np.ndarray):
+    """laser_label box (vehicle frame, z-heading) -> (object_to_world [4,4],
+    lwh [3]) matching the reference's object_info convention
+    (waymo2webdataset.py:281-320)."""
+    c, s = np.cos(heading), np.sin(heading)
+    Rz = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+    pose = np.eye(4)
+    pose[:3, :3] = vehicle_to_world[:3, :3] @ Rz
+    pose[:3, 3] = (vehicle_to_world
+                   @ np.array([*center_vcs, 1.0]))[:3]
+    return pose, np.asarray(dims_lwh, np.float64)
 
 
 class FrameSource:
@@ -53,22 +147,153 @@ class FrameSource:
         raise NotImplementedError
 
 
+_BOX_TYPES = {1: "vehicle", 2: "pedestrian", 3: "sign", 4: "cyclist"}
+
+
 class WaymoTFRecordSource(FrameSource):
+    """Decodes Waymo Open Dataset v1.4+ segment TFRecords (front camera +
+    TOP lidar, both returns, 3D seg labels when present, laser_labels boxes,
+    map features). Mirrors reference waymo2webdataset.py:87-766; requires
+    the TF/waymo env only at the proto layer (README/env.md:3-40) — the
+    geometry is the pure-numpy helpers above."""
+
+    FRONT_CAMERA = 1   # dataset_pb2.CameraName.FRONT
+    TOP_LIDAR = 1      # dataset_pb2.LaserName.TOP
+
     def __init__(self, segment_files: list[str]):
         self.segment_files = segment_files
 
     def clips(self):
         return [Path(p).stem for p in self.segment_files]
 
+    # ---- proto decoding helpers (waymo env only) --------------------------
+    @staticmethod
+    def _matrix(compressed, proto_cls) -> np.ndarray:
+        import zlib
+        m = proto_cls()
+        m.ParseFromString(zlib.decompress(compressed))
+        return np.asarray(m.data, np.float32).reshape(list(m.shape.dims))
+
+    def _decode_lidar(self, frame, dataset_pb2):
+        """TOP lidar, both returns -> (points_vehicle [N,3], semantics [N])."""
+        calib = next(c for c in frame.context.laser_calibrations
+                     if c.name == self.TOP_LIDAR)
+        laser = next(l for l in frame.lasers if l.name == self.TOP_LIDAR)
+        extrinsic = np.asarray(calib.extrinsic.transform).reshape(4, 4)
+        frame_pose = np.asarray(frame.pose.transform).reshape(4, 4)
+
+        pts_all, sem_all = [], []
+        for i, ret in enumerate((laser.ri_return1, laser.ri_return2)):
+            if not ret.range_image_compressed:
+                continue
+            ri = self._matrix(ret.range_image_compressed,
+                              dataset_pb2.MatrixFloat)
+            H, W = ri.shape[:2]
+            incl = np.asarray(calib.beam_inclinations, np.float64)
+            if incl.size == 0:  # uniform fallback per waymo spec
+                incl = np.linspace(calib.beam_inclination_min,
+                                   calib.beam_inclination_max, H)
+            pixel_pose = None
+            if i == 0 and laser.ri_return1.range_image_pose_compressed:
+                pixel_pose = self._matrix(
+                    laser.ri_return1.range_image_pose_compressed,
+                    dataset_pb2.MatrixFloat)
+            pts, valid = range_image_to_points(
+                ri[..., 0], extrinsic, incl,
+                pixel_pose=pixel_pose, frame_pose=frame_pose)
+            sem = np.zeros(len(pts), np.int32)
+            if ret.segmentation_label_compressed:
+                seg = self._matrix(ret.segmentation_label_compressed,
+                                   dataset_pb2.MatrixInt32)
+                sem = seg[..., 1][valid].astype(np.int32)
+            pts_all.append(pts)
+            sem_all.append(sem)
+        if not pts_all:
+            return np.zeros((0, 3), np.float32), np.zeros((0,), np.int32)
+        return np.concatenate(pts_all), np.concatenate(sem_all)
+
+    @staticmethod
+    def _decode_map(frame) -> dict:
+        """frame.map_features -> {type: [polyline [Ni,3] world, ...]}
+        (reference extract_map_data, waymo2webdataset.py:365-430)."""
+        polys: dict[str, list] = {"lane": [], "road_edge": [], "road_line": []}
+        off = np.zeros(3)
+        if frame.HasField("map_pose_offset"):
+            off = np.array([frame.map_pose_offset.x, frame.map_pose_offset.y,
+                            frame.map_pose_offset.z])
+        for feat in frame.map_features:
+            for kind in polys:
+                if feat.HasField(kind):
+                    pl = getattr(feat, kind).polyline
+                    if len(pl):
+                        polys[kind].append(np.asarray(
+                            [[p.x, p.y, p.z] for p in pl]) + off)
+        return polys
+
     def frames(self, clip_id: str):  # pragma: no cover - needs waymo env
         try:
-            import tensorflow as tf  # noqa: F401
-            from waymo_open_dataset import dataset_pb2  # noqa: F401
+            import tensorflow as tf
+            from waymo_open_dataset import dataset_pb2
         except ImportError as e:
             raise RuntimeError(
                 "waymo-open-dataset env required for TFRecord decoding "
                 "(reference README/env.md:3-40)") from e
-        raise NotImplementedError("wire waymo decode here in the waymo env")
+        from infinicube_tpu.camera.conventions import flu_to_opencv
+
+        path = next(p for p in self.segment_files
+                    if Path(p).stem == clip_id)
+        for idx, data in enumerate(
+                tf.data.TFRecordDataset(path, compression_type="")):
+            frame = dataset_pb2.Frame()
+            frame.ParseFromString(bytes(data.numpy()))
+            vehicle_to_world = np.asarray(
+                frame.pose.transform).reshape(4, 4)
+
+            # front camera: pose (waymo cam frame is FLU) + intrinsics
+            calib = next(c for c in frame.context.camera_calibrations
+                         if c.name == self.FRONT_CAMERA)
+            cam_to_vehicle = np.asarray(
+                calib.extrinsic.transform).reshape(4, 4)
+            f_u, f_v, c_u, c_v = calib.intrinsic[:4]
+            K = np.array([[f_u, 0, c_u], [0, f_v, c_v], [0, 0, 1]])
+            cam_to_world = flu_to_opencv(vehicle_to_world @ cam_to_vehicle)
+
+            image = None
+            img_proto = next((im for im in frame.images
+                              if im.name == self.FRONT_CAMERA), None)
+            if img_proto is not None:
+                image = np.asarray(
+                    tf.io.decode_jpeg(img_proto.image).numpy())
+
+            pts_vehicle, sem = self._decode_lidar(frame, dataset_pb2)
+            pts_world = pts_vehicle @ vehicle_to_world[:3, :3].T + \
+                vehicle_to_world[:3, 3]
+
+            objects = {}
+            for label in frame.laser_labels:
+                pose, lwh = waymo_box_to_pose_lwh(
+                    np.array([label.box.center_x, label.box.center_y,
+                              label.box.center_z]),
+                    label.box.heading,
+                    np.array([label.box.length, label.box.width,
+                              label.box.height]),
+                    vehicle_to_world)
+                objects[label.id] = {
+                    "pose": pose, "lwh": lwh,
+                    "type": _BOX_TYPES.get(label.type, "unknown")}
+
+            map_polys = self._decode_map(frame) if idx == 0 else None
+            map_pts = {}
+            if map_polys:
+                map_pts = {k: (np.concatenate(v) if v else
+                               np.zeros((0, 3), np.float32))
+                           for k, v in map_polys.items()}
+            yield FrameRecord(
+                index=idx, cam_to_world_opencv=cam_to_world.astype(np.float32),
+                intrinsic=K.astype(np.float32), image=image,
+                points=pts_world.astype(np.float32), point_semantics=sem,
+                objects=objects, map_points=map_pts,
+                map_polylines=map_polys)
 
 
 def classify_objects_dynamic(frames: list[FrameRecord]) -> set:
@@ -136,6 +361,14 @@ def convert_clip(source: FrameSource, clip_id: str, output_root: Path,
             w("map").add(f"{key}.npz", encode_member(
                 "npz", {k: np.asarray(v, np.float32)
                         for k, v in fr.map_points.items()}))
+            if fr.map_polylines:
+                # per-type polyline tars (reference 3d_lane / 3d_road_edge /
+                # 3d_road_line layout consumed by the attribute generator)
+                for kind, polys in fr.map_polylines.items():
+                    w(f"3d_{kind}").add(
+                        f"{kind}.json",
+                        encode_member("json", [np.asarray(p).tolist()
+                                               for p in polys]))
     finally:
         for tw in writers.values():
             tw.close()

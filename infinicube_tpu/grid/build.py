@@ -21,11 +21,12 @@ from infinicube_tpu.grid import keys as K
 from infinicube_tpu.grid.grid import Grid, make_grid
 
 
-def _unique_sorted_keys(qkeys: jnp.ndarray, capacity: int) -> jnp.ndarray:
+def _unique_sorted_keys(qkeys: jnp.ndarray, capacity: int):
     """Per-row sort + dedup into a fixed-capacity row.
 
-    qkeys uint32[B, N] (invalid = INVALID_KEY) -> uint32[B, capacity] sorted
-    ascending with INVALID_KEY padding. Overflow drops highest keys.
+    qkeys uint32[B, N] (invalid = INVALID_KEY) -> (uint32[B, capacity] sorted
+    ascending with INVALID_KEY padding, int32[B] dropped count). Overflow
+    drops highest keys and is reported, never silent.
     """
     def row(rk):
         rk = jnp.sort(rk)
@@ -34,19 +35,24 @@ def _unique_sorted_keys(qkeys: jnp.ndarray, capacity: int) -> jnp.ndarray:
         pos = jnp.cumsum(first) - 1
         dst = jnp.where(first, pos, capacity)  # dropped by scatter mode="drop"
         out = jnp.full((capacity,), K.INVALID_KEY, dtype=jnp.uint32)
-        return out.at[dst].set(rk, mode="drop")
+        n_unique = jnp.sum(first).astype(jnp.int32)
+        return out.at[dst].set(rk, mode="drop"), \
+            jnp.maximum(n_unique - capacity, 0)
     return jax.vmap(row)(qkeys)
 
 
 def grid_from_keys(qkeys: jnp.ndarray, capacity: int, voxel_size, origin) -> Grid:
-    """uint32[B, N] possibly-duplicated keys -> deduped sorted Grid."""
-    ukeys = _unique_sorted_keys(qkeys, capacity)
+    """uint32[B, N] possibly-duplicated keys -> deduped sorted Grid.
+
+    Capacity overflow drops the highest keys; the per-row drop count is
+    surfaced as ``Grid.num_dropped`` / ``Grid.overflowed``."""
+    ukeys, dropped = _unique_sorted_keys(qkeys, capacity)
     mask = ukeys != K.INVALID_KEY
     ijk = jnp.where(mask[..., None], K.unpack(ukeys), 0)
     voxel_size = jnp.broadcast_to(jnp.asarray(voxel_size, jnp.float32), (3,))
     origin = jnp.broadcast_to(jnp.asarray(origin, jnp.float32), (3,))
     return Grid(ijk=ijk.astype(jnp.int32), mask=mask, keys=ukeys,
-                voxel_size=voxel_size, origin=origin)
+                voxel_size=voxel_size, origin=origin, num_dropped=dropped)
 
 
 @partial(jax.jit, static_argnames=("capacity",))

@@ -41,6 +41,11 @@ class Grid:
     keys: jnp.ndarray         # uint32[B, C] sorted ascending per row
     voxel_size: jnp.ndarray   # f32 [3]
     origin: jnp.ndarray       # f32 [3]
+    # int32[B] voxels dropped by capacity overflow at construction (None for
+    # grids not built through grid_from_keys). Overflow silently corrupting
+    # outputs is the failure mode; check `overflowed` after building grids
+    # whose size isn't statically known (structure decode, world merge).
+    num_dropped: jnp.ndarray | None = None
 
     # ---- shape properties -------------------------------------------------
     @property
@@ -59,6 +64,14 @@ class Grid:
     @property
     def total_voxels(self) -> jnp.ndarray:
         return jnp.sum(self.mask).astype(jnp.int32)
+
+    @property
+    def overflowed(self) -> jnp.ndarray:
+        """bool[B]: True where construction dropped voxels (capacity too
+        small). All-False for grids without drop tracking."""
+        if self.num_dropped is None:
+            return jnp.zeros((self.batch_size,), bool)
+        return self.num_dropped > 0
 
     # ---- coordinate transforms -------------------------------------------
     def world_to_grid(self, points: jnp.ndarray) -> jnp.ndarray:

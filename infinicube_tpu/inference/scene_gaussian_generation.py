@@ -88,25 +88,35 @@ def merge_buffer_folders(folders: list, num_frames: int | None = None,
 
 def build_gsm_masks(depth: np.ndarray, instance: np.ndarray,
                     sky_seg: np.ndarray | None = None,
-                    pixel_branch_last_n: int | None = None) -> np.ndarray:
+                    pixel_branch_last_n: int | None = 1) -> np.ndarray:
     """4-channel masks [V, H, W, 4] (reference :435-483):
-    ch0 fg (sky=0, from seg when given else depth==0 fallback), ch1
-    non-dynamic, ch2 hood/pad (all-ones here), ch3 fg-from-grid (= ch0)."""
+    ch0 fg-from-seg (sky=0; depth==0 fallback when no seg), ch1 non-dynamic,
+    ch2 hood/pad (all-ones here), ch3 fg-from-grid (depth>0).
+
+    The pixel branch models the MIDGROUND = ch0 & ~ch3 (foreground the voxel
+    grid doesn't cover).  ``pixel_branch_last_n`` (reference
+    --enable_pixel_branch_last_n_frame, default 1) empties the midground of
+    every frame before the last N by setting ch0 = ch3 there; None/0
+    disables the pixel branch for all frames the same way."""
     V, H, W = depth.shape
-    sky = (sky_seg > 0) if sky_seg is not None else (depth <= 0)
+    fg_grid = (depth > 0).astype(np.float32)
+    fg_seg = (~(sky_seg > 0)).astype(np.float32) if sky_seg is not None \
+        else fg_grid
     m = np.ones((V, H, W, 4), np.float32)
-    m[..., 0] = (~sky).astype(np.float32)
+    m[..., 0] = fg_seg
     m[..., 1] = (instance < DYNAMIC_ID_BASE).astype(np.float32)
-    m[..., 3] = m[..., 0]
-    if pixel_branch_last_n is not None:
-        # only the last N frames feed the pixel branch (reference logic)
-        m[:-pixel_branch_last_n, ..., 2] = m[:-pixel_branch_last_n, ..., 2]
+    m[..., 3] = fg_grid
+    n = pixel_branch_last_n or 0
+    if n <= 0:
+        m[..., 0] = m[..., 3]
+    elif n < V:
+        m[:-n, ..., 0] = m[:-n, ..., 3]
     return m
 
 
 def reconstruct_scene(data: dict, params=None, model: GSM | None = None,
                       cfg: GSMConfig | None = None, max_views: int = 8,
-                      seed: int = 0):
+                      seed: int = 0, pixel_branch_last_n: int = 1):
     """Static + dynamic reconstruction. Returns (static_gs, object_gs dict,
     model, params)."""
     depth = data["depth"]
@@ -119,7 +129,10 @@ def reconstruct_scene(data: dict, params=None, model: GSM | None = None,
     rgb = data.get("video")
     rgb = rgb[sel] if rgb is not None else \
         np.zeros(depth.shape + (3,), np.float32)
-    masks = build_gsm_masks(depth, instance)
+    sky_seg = data.get("sky_seg")
+    masks = build_gsm_masks(depth, instance,
+                            sky_seg[sel] if sky_seg is not None else None,
+                            pixel_branch_last_n=pixel_branch_last_n)
 
     # voxel grid from the world crop
     if "world" in data:

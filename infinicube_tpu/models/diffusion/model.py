@@ -144,10 +144,18 @@ class VoxelDiffusion:
 
     # ---- training ---------------------------------------------------------
     def train_loss(self, params, rng: jax.Array, latents: jnp.ndarray,
-                   cond: CondCubes):
+                   cond: CondCubes, scale_factor: float = 1.0):
         """v-prediction MSE with per-sample timesteps + CF dropout
-        (reference diffusion.py:917-983, 476-498)."""
+        (reference diffusion.py:917-983, 476-498).
+
+        ``scale_factor`` is the scale_by_std normalizer (1/std of the first
+        training batch, reference diffusion.py:424-443); it must match the
+        value passed to ``sample`` or the trained and sampled latent
+        distributions disagree. The training stream usually pre-applies it
+        (training/data_glue.scale_by_std); pass it here when feeding raw
+        VAE latents directly."""
         cfg = self.cfg
+        latents = latents * scale_factor
         B = latents.shape[0]
         r_t, r_n, r_m, r_b = jax.random.split(rng, 4)
         t = jax.random.randint(r_t, (B,), 0, cfg.num_train_timesteps)

@@ -100,5 +100,10 @@ class UnifiedEncoder(nn.Module):
         f = jnp.concatenate(feats, axis=-1).reshape(B, V, H, W, -1)
         sky_mask = masks[..., 0] == 0
         effective = masks[..., 1] * masks[..., 2]
+        # midground = fg-from-seg minus fg-from-grid: the region the pixel
+        # branch is responsible for (reference scene_gaussian_generation.py
+        # :444-446 "from_seg - from_grid = midground area")
+        midground = (masks[..., 0] > 0) & (masks[..., 3] == 0)
         return {"features": f, "sky_mask": sky_mask,
-                "effective_mask": effective, "original_rgb": images}
+                "effective_mask": effective, "midground": midground,
+                "original_rgb": images}

@@ -64,8 +64,6 @@ def perceptual_proxy(a: jnp.ndarray, b: jnp.ndarray):
     """Multi-scale gradient-magnitude distance (LPIPS stand-in)."""
     total = 0.0
     for _ in range(3):
-        da = jnp.abs(jnp.diff(a, axis=-2)).mean() + \
-            jnp.abs(jnp.diff(a, axis=-3)).mean()
         db_x = jnp.diff(a - b, axis=-2)
         db_y = jnp.diff(a - b, axis=-3)
         total = total + jnp.abs(db_x).mean() + jnp.abs(db_y).mean()

@@ -136,7 +136,13 @@ class GSM(nn.Module):
             gs_v = self.voxel_branch(grids, lifted, visible, feats, Ks, poses)
             sets.append(gs_v)
         if cfg.use_pixel_branch:
-            pixel_mask = (eff_mask > 0) & ~sky_mask
+            if cfg.use_voxel_branch:
+                # joint inference: pixel branch handles the midground only
+                # (fg-from-seg minus fg-from-grid; reference pixel_branch
+                # masks "joint-infer=midground-only")
+                pixel_mask = enc["midground"][0] & (eff_mask > 0)
+            else:  # 2D-only mode covers all non-sky foreground
+                pixel_mask = (eff_mask > 0) & ~sky_mask
             gs_p = self.pixel_branch(images, batch["depth_prior"], Ks, poses,
                                      pixel_mask=pixel_mask,
                                      decode_all=decode_all_pixels)

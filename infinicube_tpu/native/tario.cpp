@@ -37,12 +37,31 @@ struct TarIndex {
   std::vector<Member> members;
 };
 
-uint64_t parse_octal(const char* p, size_t n) {
-  uint64_t v = 0;
-  for (size_t i = 0; i < n && p[i]; ++i) {
-    if (p[i] >= '0' && p[i] <= '7') v = v * 8 + (p[i] - '0');
+constexpr uint64_t kBadSize = ~uint64_t(0);
+
+// Parse a tar numeric field: octal, or GNU base-256 (leading byte 0x80).
+// Returns kBadSize on malformed input instead of silently parsing garbage.
+uint64_t parse_size(const char* p, size_t n) {
+  const auto* u = reinterpret_cast<const unsigned char*>(p);
+  if (u[0] & 0x80) {  // GNU base-256: big-endian binary, high bit flags it
+    uint64_t v = u[0] & 0x7f;
+    for (size_t i = 1; i < n; ++i) {
+      if (v > (kBadSize >> 8)) return kBadSize;  // would overflow
+      v = (v << 8) | u[i];
+    }
+    return v;
   }
-  return v;
+  uint64_t v = 0;
+  bool any = false;
+  for (size_t i = 0; i < n; ++i) {
+    if (p[i] == '\0') break;
+    if (p[i] == ' ') continue;  // historic leading/trailing spaces
+    if (p[i] < '0' || p[i] > '7') return kBadSize;
+    if (v > (kBadSize >> 3)) return kBadSize;
+    v = v * 8 + (p[i] - '0');
+    any = true;
+  }
+  return any ? v : 0;
 }
 
 }  // namespace
@@ -66,7 +85,7 @@ void* tario_open(const char* path) {
   while (off + 512 <= t->file_size) {
     const char* hdr = reinterpret_cast<const char*>(t->map + off);
     if (hdr[0] == '\0') break;  // end-of-archive zero block
-    uint64_t size = parse_octal(hdr + 124, 12);
+    uint64_t size = parse_size(hdr + 124, 12);
     char type = hdr[156];
     std::string name(hdr, strnlen(hdr, 100));
     // ustar prefix field
@@ -75,6 +94,12 @@ void* tario_open(const char* path) {
       name = prefix + "/" + name;
     }
     uint64_t payload = off + 512;
+    // Reject truncated/malformed members: the payload (and its longname
+    // read below) must lie entirely inside the mapping, or later
+    // tario_data/tario_read would hand out pointers past the mmap.
+    if (size == kBadSize || size > t->file_size ||
+        payload > t->file_size - size)
+      break;
     uint64_t padded = (size + 511) & ~uint64_t(511);
     if (type == 'L') {  // GNU longname
       longname.assign(reinterpret_cast<const char*>(t->map + payload),

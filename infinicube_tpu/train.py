@@ -85,9 +85,14 @@ def build_diffusion(cfg: Config):
         mgr = CheckpointManager(ckpt)
         if mgr.latest_step() is not None:
             vae_params = mgr.restore(vae_params)
-        return params, loss_fn, diffusion_batches(
-            ds, model, vae, vae_params, vcfg,
-            batch_size=cfg.get_path("batch_size", 2))
+        from infinicube_tpu.training.data_glue import scale_by_std
+        sf_path = (cfg.get_path("ckpt_dir",
+                                f"checkpoints/{cfg.get_path('name', 'run')}")
+                   + "/scale_factor.json")
+        return params, loss_fn, scale_by_std(
+            diffusion_batches(ds, model, vae, vae_params, vcfg,
+                              batch_size=cfg.get_path("batch_size", 2)),
+            save_path=sf_path)
 
     def synthetic_batches():
         # synthetic latents stream for smoke training without data

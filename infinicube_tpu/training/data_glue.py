@@ -113,6 +113,25 @@ def diffusion_batches(dataset, diffusion, vae, vae_params,
         yield latents, cond
 
 
+def scale_by_std(batches: Iterator, save_path=None) -> Iterator:
+    """scale_by_std (reference diffusion.py:424-443): fix scale_factor =
+    1/std(latents) from the FIRST batch, scale every batch's latents by it,
+    and optionally persist it (json) so inference divides samples by the
+    same value (model.sample(scale_factor=...))."""
+    import json
+    from pathlib import Path
+    it = iter(batches)
+    latents, cond = next(it)
+    sf = float(1.0 / max(float(jnp.std(latents)), 1e-6))
+    if save_path is not None:
+        p = Path(save_path)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(json.dumps({"scale_factor": sf}))
+    yield latents * sf, cond
+    for latents, cond in it:
+        yield latents * sf, cond
+
+
 def gsm_batches(dataset, gsm_cfg, voxel_capacity: int = 65536,
                 point_capacity: int = 65536) -> Iterator:
     """-> GSM batch dicts (single scene per step, the reference's batch-1

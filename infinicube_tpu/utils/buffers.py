@@ -254,10 +254,14 @@ _DEPTH_QUANTA = 0.2   # packed-depth resolution (m); 11 bits -> 409 m range
 
 
 def _packed_splat(flat_px, z, slot, ok, h, w):
-    """ONE scatter-min of (quantized depth << 19 | voxel slot) resolves both
+    """ONE scatter-min of (quantized depth << 20 | voxel slot) resolves both
     the z-buffer and the winning voxel (scatters are serial-ish on TPU via
-    XLA — halving+packing them is the whole game)."""
-    zq = jnp.clip((z / _DEPTH_QUANTA).astype(jnp.int32), 0, (1 << 11) - 1)
+    XLA — halving+packing them is the whole game).
+
+    zq is clipped to 2046 (not 2047) so the maximum packed value
+    2046<<20 | (2^20-1) stays strictly below the INT32_MAX miss sentinel —
+    a far-clipped voxel in the last slot must not read back as a miss."""
+    zq = jnp.clip((z / _DEPTH_QUANTA).astype(jnp.int32), 0, (1 << 11) - 2)
     packed = (zq << 20) | slot
     flat_safe = jnp.where(ok, flat_px, h * w)
     big = jnp.int32((1 << 31) - 1)

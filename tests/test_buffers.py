@@ -129,3 +129,16 @@ def test_splat_matches_dda_depth():
     assert (s1[both] == s2[both]).mean() > 0.85
     # hit masks mostly agree
     assert ((d1 > 0) == (d2 > 0)).mean() > 0.9
+
+
+def test_packed_splat_far_voxel_last_slot_is_not_a_miss():
+    """Max quantized depth in the max slot must stay below the INT32_MAX miss
+    sentinel (a far-clipped voxel previously aliased to 'no hit')."""
+    import jax.numpy as jnp
+    from infinicube_tpu.utils.buffers import _packed_splat
+
+    slot = jnp.asarray([(1 << 20) - 1], jnp.int32)
+    buf = _packed_splat(jnp.asarray([0]), jnp.asarray([1e9]), slot,
+                        jnp.asarray([True]), 1, 1)
+    assert int(buf[0]) != (1 << 31) - 1          # it's a hit...
+    assert int(buf[0]) & ((1 << 20) - 1) == (1 << 20) - 1  # ...by that slot

@@ -133,3 +133,45 @@ def test_gaussian_io_roundtrip(tmp_path):
     np.testing.assert_allclose(back["scales"], g["scales"], rtol=1e-4)
     np.testing.assert_allclose(back["opacities"], g["opacities"], atol=1e-4)
     np.testing.assert_allclose(back["colors"], g["colors"], atol=1e-4)
+
+
+def test_tario_rejects_truncated_and_malformed_members(tmp_path):
+    """A member whose declared size runs past EOF, or whose size field is
+    not octal/base-256, must not be served (no out-of-bounds reads from the
+    native mmap path; same behavior in the tarfile fallback)."""
+    import struct
+
+    def header(name, size_field, typeflag=b"0"):
+        hdr = bytearray(512)
+        hdr[0:len(name)] = name
+        hdr[100:108] = b"0000644\x00"
+        hdr[108:116] = b"0000000\x00"
+        hdr[116:124] = b"0000000\x00"
+        hdr[124:136] = size_field
+        hdr[136:148] = b"00000000000\x00"
+        hdr[156:157] = typeflag
+        hdr[257:262] = b"ustar"
+        hdr[148:156] = b"        "
+        chk = sum(hdr)
+        hdr[148:156] = ("%06o" % chk).encode() + b"\x00 "
+        return bytes(hdr)
+
+    # truncated: claims 1 MiB payload, file ends after 10 bytes
+    p = tmp_path / "trunc.tar"
+    p.write_bytes(header(b"big.bin", b"00004000000\x00") + b"0123456789")
+    with TarReader(p) as r:
+        assert "big.bin" not in r.names()
+
+    # malformed size field (non-octal garbage)
+    p2 = tmp_path / "garbage.tar"
+    p2.write_bytes(header(b"bad.bin", b"zzzzzzzzzzz\x00") + b"\x00" * 1024)
+    with TarReader(p2) as r:
+        assert "bad.bin" not in r.names()
+
+    # healthy member after rebuild still reads fine
+    p3 = tmp_path / "ok.tar"
+    payload = b"hello world!"
+    with TarWriter(p3) as w:
+        w.add("ok.txt", payload)
+    with TarReader(p3) as r:
+        assert r.read("ok.txt") == payload

@@ -189,3 +189,18 @@ def test_pack_unpack_roundtrip():
     np.testing.assert_array_equal(np.asarray(back), np.asarray(ijk))
     # out-of-domain -> INVALID
     assert K.pack(jnp.array([[5000, 0, 0]], jnp.int32))[0] == K.INVALID_KEY
+
+
+def test_capacity_overflow_is_surfaced():
+    """grid_from_keys must report dropped voxels instead of silently
+    truncating (structure decode / world merge corruption guard)."""
+    import jax.numpy as jnp
+    from infinicube_tpu.grid.build import grid_from_ijk
+
+    ijk = jnp.stack(jnp.meshgrid(jnp.arange(4), jnp.arange(4), jnp.arange(4),
+                                 indexing="ij"), -1).reshape(1, 64, 3)
+    g = grid_from_ijk(ijk, jnp.ones((1, 64), bool), 0.2, 0.0, capacity=32)
+    assert int(g.num_dropped[0]) == 32
+    assert bool(g.overflowed[0])
+    g2 = grid_from_ijk(ijk, jnp.ones((1, 64), bool), 0.2, 0.0, capacity=64)
+    assert int(g2.num_dropped[0]) == 0 and not bool(g2.overflowed[0])

@@ -145,3 +145,130 @@ def test_visualize_offscreen():
     T[:3, 3] = [1, 2, 3]
     g2 = transform_gaussians(g, T)
     np.testing.assert_allclose(g2["means"], g["means"] + [1, 2, 3])
+
+
+def test_range_image_round_trip():
+    """Synthesize a range image from known spherical coordinates and verify
+    range_image_to_points inverts it (the core waymo frame_utils math)."""
+    from infinicube_tpu.data_process.waymo2shards import (
+        range_image_polar_angles, range_image_to_points)
+
+    H, W = 8, 16
+    extrinsic = np.eye(4)
+    extrinsic[:3, 3] = [1.0, -2.0, 3.0]
+    incl_calib = np.linspace(-0.3, 0.1, H)  # bottom-to-top
+    rng = np.random.default_rng(0)
+    r = rng.uniform(2.0, 50.0, (H, W)).astype(np.float32)
+    r[0, 0] = 0.0  # one no-return pixel
+
+    pts, valid = range_image_to_points(r, extrinsic, incl_calib)
+    assert pts.shape == (H * W - 1, 3)
+    # reconstruct expected from polar angles directly
+    incl, az = range_image_polar_angles(H, W, extrinsic, incl_calib)
+    exp = np.stack([
+        r * np.cos(incl[:, None]) * np.cos(az[None]),
+        r * np.cos(incl[:, None]) * np.sin(az[None]),
+        r * np.sin(incl[:, None]),
+    ], -1) + extrinsic[:3, 3]
+    np.testing.assert_allclose(pts, exp[valid], atol=1e-4)
+    # ranges recoverable: |p - sensor origin| == r
+    np.testing.assert_allclose(np.linalg.norm(pts - extrinsic[:3, 3], axis=-1),
+                               r[valid], rtol=1e-5)
+
+
+def test_range_image_pixel_pose_identity():
+    """When every pixel pose equals the frame pose, per-pixel correction is
+    a no-op (points come back in the same vehicle frame)."""
+    from infinicube_tpu.data_process.waymo2shards import (
+        range_image_to_points, rpy_to_matrix)
+
+    H, W = 4, 8
+    extrinsic = np.eye(4)
+    incl = np.linspace(-0.2, 0.2, H)
+    r = np.full((H, W), 10.0, np.float32)
+    yaw = 0.7
+    frame_pose = np.eye(4)
+    frame_pose[:3, :3] = rpy_to_matrix(np.array([0.0, 0.0, yaw]))
+    frame_pose[:3, 3] = [5.0, 6.0, 0.0]
+    pp = np.zeros((H, W, 6))
+    pp[..., 2] = yaw
+    pp[..., 3:] = frame_pose[:3, 3]
+    base, _ = range_image_to_points(r, extrinsic, incl)
+    corrected, _ = range_image_to_points(r, extrinsic, incl,
+                                         pixel_pose=pp, frame_pose=frame_pose)
+    np.testing.assert_allclose(corrected, base, atol=1e-4)
+
+
+def test_waymo_box_pose():
+    from infinicube_tpu.data_process.waymo2shards import waymo_box_to_pose_lwh
+
+    v2w = np.eye(4)
+    v2w[:3, 3] = [100.0, 50.0, 2.0]
+    pose, lwh = waymo_box_to_pose_lwh(
+        np.array([10.0, 0.0, 1.0]), np.pi / 2, np.array([4.0, 2.0, 1.5]), v2w)
+    np.testing.assert_allclose(pose[:3, 3], [110.0, 50.0, 3.0], atol=1e-9)
+    # heading pi/2: box x-axis points along vehicle +y
+    np.testing.assert_allclose(pose[:3, 0], [0.0, 1.0, 0.0], atol=1e-9)
+    np.testing.assert_allclose(lwh, [4.0, 2.0, 1.5])
+
+
+def test_attribute_generator_full_set(tmp_path):
+    """process_clip must produce the complete reference attribute set
+    (skymask, lidar_depth, discretized map + road surface, car-removed
+    cloud, voxel buffers) from a synthetic converted clip (reference
+    generate_additional_attributes.py:65-417)."""
+    from infinicube_tpu.data_process.generate_additional_attributes import (
+        process_clip)
+    from infinicube_tpu.data.tario import TarReader
+    from infinicube_tpu.data.codec import decode_member
+
+    class MapSource(FakeSource):
+        def frames(self, clip_id):
+            rng = np.random.default_rng(0)
+            pts = rng.uniform([-5, -5, 0], [15, 9, 2], (400, 3)
+                              ).astype(np.float32)
+            sem = np.full(400, 17, np.int32)        # ROAD
+            sem[:40] = 1                            # CAR points to strip
+            e1 = np.stack([np.linspace(0, 10, 8), np.zeros(8),
+                           np.zeros(8)], -1)
+            e2 = np.stack([np.linspace(0, 10, 8), np.full(8, 4.0),
+                           np.zeros(8)], -1)
+            for i in range(2):
+                # OpenCV cam at (i-2, 2, 1) looking along world +x (z-up):
+                # columns = world dirs of camera right/down/forward axes
+                pose = np.eye(4, dtype=np.float32)
+                pose[:3, :3] = np.array([[0, 0, 1], [-1, 0, 0], [0, -1, 0]],
+                                        np.float32)
+                pose[:3, 3] = [i * 1.0 - 2.0, 2.0, 1.0]
+                K = np.array([[50.0, 0, 32], [0, 50.0, 24], [0, 0, 1]],
+                             np.float32)
+                yield FrameRecord(
+                    index=i, cam_to_world_opencv=pose, intrinsic=K,
+                    image=None, points=pts, point_semantics=sem,
+                    objects={}, map_points={"road_edge": e1},
+                    map_polylines={"lane": [e1 + [0, 2, 0]],
+                                   "road_edge": [e1, e2],
+                                   "road_line": [e1 + [0, 1, 0]]}
+                    if i == 0 else None)
+
+    src = MapSource()
+    convert(src, tmp_path, node_rank=0, num_nodes=1)
+    assert (tmp_path / "3d_lane" / "c0.tar").exists()
+    process_clip(tmp_path, "c0", buffer_capacity=4096)
+
+    for attr in ("skymask", "lidar_depth", "3d_lane_voxelsize_025",
+                 "3d_road_edge_voxelsize_025", "3d_road_line_voxelsize_025",
+                 "3d_road_surface_voxelsize_04", "pc_with_map_without_car",
+                 "voxel_depth_100", "semantic_buffer", "instance_buffer"):
+        assert (tmp_path / attr / "c0.tar").exists(), attr
+
+    with TarReader(tmp_path / "3d_road_surface_voxelsize_04" / "c0.tar") as r:
+        surf = decode_member("npy", r.read("road_surface.npy"))
+    assert len(surf) > 20
+    with TarReader(tmp_path / "pc_with_map_without_car" / "c0.tar") as r:
+        nc = decode_member("npz", r.read("000000.npz"))
+    assert not np.isin(nc["semantic"], [1, 2]).any()     # cars stripped
+    assert (nc["semantic"] == 19).sum() > 0              # lane markers added
+    with TarReader(tmp_path / "voxel_depth_100" / "c0.tar") as r:
+        d = decode_member("png", r.read("000000.png"))
+    assert d.dtype == np.uint16 and (d > 0).any()

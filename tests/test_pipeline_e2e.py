@@ -99,3 +99,24 @@ def test_gsm_masks_semantics():
     # sky fallback: depth==0 rows are sky (ch0 = 0)
     assert (m[0, :4, :, 0] == 0).all() and (m[0, 4:, :, 0] == 1).all()
     assert m[0, 5, 5, 1] == 0 and m[0, 4, 4, 1] == 1
+
+
+def test_gsm_masks_pixel_branch_last_n():
+    """Frames before the last N must have an empty midground (ch0 == ch3);
+    the last N keep fg-from-seg distinct from fg-from-grid; last_n=0/None
+    disables the pixel branch everywhere (reference :460-478)."""
+    depth = np.zeros((3, 4, 4), np.float32)
+    depth[:, 2:] = 5.0                      # grid covers bottom half
+    sky_seg = np.zeros((3, 4, 4), np.int32)
+    sky_seg[:, 0] = 1                       # seg: only the top row is sky
+    inst = np.zeros((3, 4, 4), np.int32)
+
+    m = build_gsm_masks(depth, inst, sky_seg, pixel_branch_last_n=1)
+    mid = (m[..., 0] > 0) & (m[..., 3] == 0)
+    assert not mid[:2].any()                # early frames: midground empty
+    assert mid[2, 1].all()                  # last frame: row 1 is midground
+
+    m0 = build_gsm_masks(depth, inst, sky_seg, pixel_branch_last_n=0)
+    assert ((m0[..., 0] > 0) == (m0[..., 3] > 0)).all()
+    mN = build_gsm_masks(depth, inst, sky_seg, pixel_branch_last_n=None)
+    assert ((mN[..., 0] > 0) == (mN[..., 3] > 0)).all()
