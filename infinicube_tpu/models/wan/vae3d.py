@@ -1,15 +1,32 @@
-"""Causal 3D video VAE (Wan2.1-style): 8x spatial, 4x temporal compression.
+"""Causal 3D video VAE — checkpoint-shaped Wan2.1 architecture.
 
-Capability mirror of the reference's external Wan video VAE (SURVEY.md §2.1
-N6): video [T, H, W, 3] with T = 1 + 4k maps to latents
-[1 + k, H/8, W/8, 16]; the first frame is compressed only spatially (causal
-temporal convs, no future leakage), so single images round-trip and streaming
-decode works chunk-by-chunk. Also used to encode the semantic/coordinate
-guidance-buffer videos for DiT conditioning (videogen/inference.py:86).
+The reference's video stage runs entirely on the pretrained Wan2.1 video VAE
+(/root/reference/infinicube/videogen/inference.py:63-81 loads
+``Wan2.1_VAE.pth``); this module mirrors that architecture exactly so the
+released weights convert (weights/wan_convert.py):
 
-TPU notes: channels-last, bf16 activations, GroupNorm in f32; spatial tiling
-for decode under HBM limits mirrors the reference's ``tiled=True``
-(inference.py:171)."""
+- CausalConv3d: temporal pad 2*pt entirely on the left (zero pad), SAME
+  spatial — frame t never sees t+1; single images round-trip and streaming
+  decode works chunk-by-chunk,
+- RMS_norm over channels per spatial location (gamma [C]),
+- ResidualBlock(residual: RMS/SiLU/conv/RMS/SiLU/conv + 1x1 shortcut),
+- AttentionBlock: per-frame single-head attention over H*W (middle only;
+  attn_scales=[] in the release config),
+- Resample: downsample2d (zero-pad right/bottom + stride-2 conv),
+  downsample3d (+ VALID stride-2 temporal conv, first frame passthrough),
+  upsample2d (nearest 2x + conv C->C/2), upsample3d (causal temporal conv
+  C->2C interleaved to double frames, first frame passthrough),
+- per-channel latent mean/std normalization (the published Wan2.1 stats).
+
+T = 1 + 4k frames <-> 1 + k latent frames; 8x spatial. Streaming-cache
+first-frame semantics are reconstructed from the public architecture and
+validated against the torch mirror in tests/torch_mirrors/wan_vae_torch.py
+(bit-parity against the real .pth requires the weights themselves).
+
+TPU notes: channels-last, bf16 activations with f32 norms, whole-clip
+processing (no chunk loop — HBM fits 93f@480p), spatially tiled decode
+mirroring the reference's ``tiled=True`` (inference.py:171).
+"""
 
 from __future__ import annotations
 
@@ -20,95 +37,199 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from infinicube_tpu.models.diffusion.unet3d import GroupNorm32 as _GN
-
-
-class GroupNormPerFrame(nn.Module):
-    """GroupNorm with statistics per (batch, frame) — time-global stats would
-    leak future frames into the past and break causality."""
-
-    @nn.compact
-    def __call__(self, x):
-        B, T, H, W, C = x.shape
-        y = _GN()(x.reshape(B * T, H, W, C))
-        return y.reshape(B, T, H, W, C)
-
-
-GroupNorm32 = GroupNormPerFrame
+# Published Wan2.1 per-channel latent statistics (wan/modules/vae.py): the
+# DiT consumes z_hat = (z - mean) / std.
+WAN_LATENT_MEAN = (
+    -0.7571, -0.7089, -0.9113, 0.1075, -0.1745, 0.9653, -0.1517, 1.5508,
+    0.4134, -0.0715, 0.5517, -0.3632, -0.1922, -0.9497, 0.2503, -0.2921)
+WAN_LATENT_STD = (
+    2.8184, 1.4541, 2.3275, 2.6558, 1.2196, 1.7708, 2.6052, 2.0743,
+    3.2687, 2.1526, 2.8652, 1.5579, 1.6382, 1.1253, 2.8251, 1.9160)
 
 
 @dataclasses.dataclass(frozen=True)
 class VideoVAEConfig:
-    latent_channels: int = 16
-    base_channels: int = 96
-    channel_mult: Sequence[int] = (1, 2, 4, 4)
+    latent_channels: int = 16                   # z_dim
+    base_channels: int = 96                     # dim
+    channel_mult: Sequence[int] = (1, 2, 4, 4)  # dim_mult
     num_res_blocks: int = 2
+    temporal_down: Sequence[bool] = (False, True, True)  # temperal_downsample
     dtype: Any = jnp.bfloat16
-    scaling_factor: float = 1.0
+    latent_mean: Sequence[float] | None = None
+    latent_std: Sequence[float] | None = None
+
+    @staticmethod
+    def wan21(**kw) -> "VideoVAEConfig":
+        base = dict(latent_mean=WAN_LATENT_MEAN, latent_std=WAN_LATENT_STD)
+        base.update(kw)
+        return VideoVAEConfig(**base)
+
+    @property
+    def spatial_scale(self) -> int:
+        return 2 ** (len(self.channel_mult) - 1)
+
+    @property
+    def temporal_scale(self) -> int:
+        return 2 ** sum(self.temporal_down)
 
 
-class CausalConv3d(nn.Module):
-    """3D conv, causal in time (left pad), SAME in space."""
+# ---------------------------------------------------------------------------
+# building blocks (names mirror the torch state dict for conversion)
+# ---------------------------------------------------------------------------
+
+class RMSNormCh(nn.Module):
+    """Wan RMS_norm: x / ||x||_C * sqrt(C) * gamma, per spatial location
+    (torch F.normalize over the channel dim). gamma [C]."""
+
+    @nn.compact
+    def __call__(self, x):
+        g = self.param("gamma", nn.initializers.ones, (x.shape[-1],))
+        xf = x.astype(jnp.float32)
+        n = jnp.sqrt(jnp.sum(xf * xf, axis=-1, keepdims=True))
+        y = xf / jnp.maximum(n, 1e-12) * jnp.sqrt(x.shape[-1])
+        return (y * g).astype(x.dtype)
+
+
+def causal_conv3d(x, features, name, kernel=(3, 3, 3), strides=(1, 1, 1),
+                  dtype=jnp.bfloat16):
+    """Temporal pad 2*pt on the left (zeros), SAME in space — must be called
+    inside a parent @nn.compact so the conv params live directly under
+    ``name`` (clean torch-key conversion)."""
+    kt, kh, kw = kernel
+    x = jnp.pad(x, ((0, 0), (2 * (kt // 2), 0), (kh // 2, kh // 2),
+                    (kw // 2, kw // 2), (0, 0)))
+    return nn.Conv(features, kernel, strides=strides, padding="VALID",
+                   dtype=dtype, name=name)(x)
+
+
+class ResidualBlock(nn.Module):
     features: int
-    kernel: tuple = (3, 3, 3)
-    strides: tuple = (1, 1, 1)
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
-        kt, kh, kw = self.kernel
-        x = jnp.pad(x, ((0, 0), (kt - 1, 0), (kh // 2, kh // 2),
-                        (kw // 2, kw // 2), (0, 0)))
-        return nn.Conv(self.features, self.kernel, strides=self.strides,
-                       padding="VALID", dtype=self.dtype)(x)
-
-
-class VAEResBlock(nn.Module):
-    features: int
-    dtype: Any = jnp.bfloat16
-
-    @nn.compact
-    def __call__(self, x):
-        h = nn.silu(GroupNorm32()(x))
-        h = CausalConv3d(self.features, dtype=self.dtype, name="conv1")(h)
-        h = nn.silu(GroupNorm32()(h))
-        h = CausalConv3d(self.features, dtype=self.dtype, name="conv2")(h)
+        h = nn.silu(RMSNormCh(name="residual_0")(x))
+        h = causal_conv3d(h, self.features, "residual_2", dtype=self.dtype)
+        h = nn.silu(RMSNormCh(name="residual_3")(h))
+        h = causal_conv3d(h, self.features, "residual_6", dtype=self.dtype)
         if x.shape[-1] != self.features:
-            x = nn.Dense(self.features, dtype=self.dtype, name="skip")(x)
+            x = causal_conv3d(x, self.features, "shortcut",
+                              kernel=(1, 1, 1), dtype=self.dtype)
         return x + h
 
 
-class TemporalDown(nn.Module):
-    """1 + 2k frames -> 1 + k frames; first frame passes through."""
-    features: int
-    dtype: Any = jnp.bfloat16
-
-    @nn.compact
-    def __call__(self, x):
-        first = nn.Dense(self.features, dtype=self.dtype, name="first")(x[:, :1])
-        rest = CausalConv3d(self.features, kernel=(3, 1, 1),
-                            strides=(2, 1, 1), dtype=self.dtype,
-                            name="down")(x)[:, 1:]
-        # strided causal conv over T frames yields ceil(T/2); frames at odd
-        # indices 1,3,... of the original map to outputs 1..k
-        return jnp.concatenate([first, rest], axis=1)
-
-
-class TemporalUp(nn.Module):
-    """1 + k frames -> 1 + 2k frames; first frame passes through."""
-    features: int
+class AttentionBlock(nn.Module):
+    """Per-frame single-head attention over H*W (Wan AttentionBlock)."""
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
         B, T, H, W, C = x.shape
-        first = nn.Dense(self.features, dtype=self.dtype, name="first")(x[:, :1])
-        rest = nn.Dense(2 * self.features, dtype=self.dtype,
-                        name="up")(x[:, 1:])
-        rest = rest.reshape(B, T - 1, H, W, 2, self.features)
-        rest = rest.transpose(0, 1, 4, 2, 3, 5).reshape(B, 2 * (T - 1), H, W,
-                                                        self.features)
-        return jnp.concatenate([first, rest], axis=1)
+        h = RMSNormCh(name="norm")(x)
+        qkv = nn.Dense(3 * C, dtype=jnp.float32, name="to_qkv")(
+            h.astype(jnp.float32))
+        q, k, v = jnp.split(qkv.reshape(B * T, H * W, 3 * C), 3, axis=-1)
+        logits = jnp.einsum("bqc,bkc->bqk", q, k) / jnp.sqrt(C)
+        attn = jax.nn.softmax(logits, axis=-1)
+        o = jnp.einsum("bqk,bkc->bqc", attn, v)
+        o = nn.Dense(C, dtype=jnp.float32, name="proj")(o)
+        return x + o.reshape(B, T, H, W, C).astype(x.dtype)
+
+
+class Downsample2D(nn.Module):
+    """ZeroPad2d((0,1,0,1)) + stride-2 conv (per frame)."""
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 1), (0, 1), (0, 0)))
+        return nn.Conv(C, (1, 3, 3), strides=(1, 2, 2), padding="VALID",
+                       dtype=self.dtype, name="resample_1")(x)
+
+
+class Downsample3D(nn.Module):
+    """Spatial stride-2 then temporal stride-2: 1+2k -> 1+k frames, first
+    frame passthrough (the streaming feat-cache net effect: output i>=1 is
+    conv(x[2i-2:2i+1]))."""
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 1), (0, 1), (0, 0)))
+        x = nn.Conv(C, (1, 3, 3), strides=(1, 2, 2), padding="VALID",
+                    dtype=self.dtype, name="resample_1")(x)
+        rest = nn.Conv(C, (3, 1, 1), strides=(2, 1, 1), padding="VALID",
+                       dtype=self.dtype, name="time_conv")(x)
+        return jnp.concatenate([x[:, :1], rest], axis=1)
+
+
+class Upsample2D(nn.Module):
+    """Nearest 2x + conv C -> C//2 (per frame)."""
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        B, T, H, W, C = x.shape
+        x = jnp.repeat(jnp.repeat(x, 2, axis=2), 2, axis=3)
+        return nn.Conv(C // 2, (1, 3, 3), dtype=self.dtype,
+                       name="resample_1")(x)
+
+
+class Upsample3D(nn.Module):
+    """Causal temporal conv C -> 2C interleaved to double frames (first
+    frame passthrough), then nearest 2x + conv C -> C//2."""
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        B, T, H, W, C = x.shape
+        t2 = causal_conv3d(x, 2 * C, "time_conv", kernel=(3, 1, 1),
+                           dtype=self.dtype)
+        pair = t2[:, 1:].reshape(B, T - 1, H, W, 2, C)
+        pair = pair.transpose(0, 1, 4, 2, 3, 5).reshape(
+            B, 2 * (T - 1), H, W, C)
+        x = jnp.concatenate([x[:, :1], pair], axis=1)
+        x = jnp.repeat(jnp.repeat(x, 2, axis=2), 2, axis=3)
+        return nn.Conv(C // 2, (1, 3, 3), dtype=self.dtype,
+                       name="resample_1")(x)
+
+
+# ---------------------------------------------------------------------------
+# schedules shared with the converter (weights/wan_convert.py)
+# ---------------------------------------------------------------------------
+
+def encoder_schedule(cfg: VideoVAEConfig):
+    """[(index, kind, features)] of encoder.downsamples entries."""
+    dims = [cfg.base_channels * m for m in (1,) + tuple(cfg.channel_mult)]
+    out, idx = [], 0
+    for i, (d_in, d_out) in enumerate(zip(dims[:-1], dims[1:])):
+        for _ in range(cfg.num_res_blocks):
+            out.append((idx, "res", d_out))
+            idx += 1
+        if i != len(cfg.channel_mult) - 1:
+            kind = "down3d" if cfg.temporal_down[i] else "down2d"
+            out.append((idx, kind, d_out))
+            idx += 1
+    return out
+
+
+def decoder_schedule(cfg: VideoVAEConfig):
+    """[(index, kind, features)] of decoder.upsamples entries."""
+    mult = list(cfg.channel_mult)
+    dims = [cfg.base_channels * m for m in [mult[-1]] + mult[::-1]]
+    t_up = list(cfg.temporal_down)[::-1]
+    out, idx = [], 0
+    for i, (d_in, d_out) in enumerate(zip(dims[:-1], dims[1:])):
+        for _ in range(cfg.num_res_blocks + 1):
+            out.append((idx, "res", d_out))
+            idx += 1
+        if i != len(mult) - 1:
+            kind = "up3d" if t_up[i] else "up2d"
+            out.append((idx, kind, d_out))
+            idx += 1
+    return out
 
 
 class VideoEncoder(nn.Module):
@@ -116,30 +237,26 @@ class VideoEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, video):
-        """video f32[B, T, H, W, 3] in [-1, 1], T = 1 + 4k ->
-        (mu, logvar) [B, 1+k, H/8, W/8, latent]."""
+        """video f32[B, T, H, W, 3] in [-1, 1], T = 1 + temporal_scale*k ->
+        stats [B, 1+k, H/s, W/s, 2*latent] (raw mu ++ logvar)."""
         cfg = self.cfg
-        ch = cfg.base_channels
-        x = CausalConv3d(ch, dtype=cfg.dtype, name="stem")(
-            video.astype(cfg.dtype))
-        for lvl, mult in enumerate(cfg.channel_mult):
-            for i in range(cfg.num_res_blocks):
-                x = VAEResBlock(ch * mult, dtype=cfg.dtype,
-                                name=f"enc{lvl}_{i}")(x)
-            if lvl < len(cfg.channel_mult) - 1:
-                # spatial down x2
-                x = nn.Conv(x.shape[-1], (1, 3, 3), strides=(1, 2, 2),
-                            dtype=cfg.dtype, name=f"sdown{lvl}")(x)
-                if lvl < 2:  # temporal down x2 twice -> 4x
-                    x = TemporalDown(x.shape[-1], dtype=cfg.dtype,
-                                     name=f"tdown{lvl}")(x)
-        x = VAEResBlock(x.shape[-1], dtype=cfg.dtype, name="mid")(x)
-        x = nn.silu(GroupNorm32()(x))
-        stats = nn.Conv(2 * cfg.latent_channels, (1, 1, 1),
-                        dtype=jnp.float32, name="to_stats")(
-            x.astype(jnp.float32))
-        mu, logvar = jnp.split(stats, 2, axis=-1)
-        return mu, jnp.clip(logvar, -30.0, 20.0)
+        x = causal_conv3d(video.astype(cfg.dtype), cfg.base_channels,
+                          "conv1", dtype=cfg.dtype)
+        for idx, kind, feat in encoder_schedule(cfg):
+            name = f"downsamples_{idx}"
+            if kind == "res":
+                x = ResidualBlock(feat, dtype=cfg.dtype, name=name)(x)
+            elif kind == "down2d":
+                x = Downsample2D(dtype=cfg.dtype, name=name)(x)
+            else:
+                x = Downsample3D(dtype=cfg.dtype, name=name)(x)
+        x = ResidualBlock(x.shape[-1], dtype=cfg.dtype, name="middle_0")(x)
+        x = AttentionBlock(dtype=cfg.dtype, name="middle_1")(x)
+        x = ResidualBlock(x.shape[-1], dtype=cfg.dtype, name="middle_2")(x)
+        x = nn.silu(RMSNormCh(name="head_0")(x))
+        return causal_conv3d(x.astype(jnp.float32),
+                             2 * cfg.latent_channels, "head_2",
+                             dtype=jnp.float32)
 
 
 class VideoDecoder(nn.Module):
@@ -148,59 +265,84 @@ class VideoDecoder(nn.Module):
     @nn.compact
     def __call__(self, z):
         cfg = self.cfg
-        mults = list(cfg.channel_mult)[::-1]
-        ch = cfg.base_channels
-        x = nn.Conv(ch * mults[0], (1, 1, 1), dtype=cfg.dtype,
-                    name="from_z")(z.astype(cfg.dtype))
-        x = VAEResBlock(x.shape[-1], dtype=cfg.dtype, name="mid")(x)
-        for lvl, mult in enumerate(mults):
-            for i in range(cfg.num_res_blocks):
-                x = VAEResBlock(ch * mult, dtype=cfg.dtype,
-                                name=f"dec{lvl}_{i}")(x)
-            if lvl < len(mults) - 1:
-                B, T, H, W, C = x.shape
-                x = jax.image.resize(x, (B, T, 2 * H, 2 * W, C), "nearest")
-                x = nn.Conv(C, (1, 3, 3), dtype=cfg.dtype,
-                            name=f"sup{lvl}")(x)
-                if lvl >= len(mults) - 3:  # mirror the two temporal downs
-                    x = TemporalUp(C, dtype=cfg.dtype, name=f"tup{lvl}")(x)
-        x = nn.silu(GroupNorm32()(x))
-        x = CausalConv3d(3, dtype=jnp.float32, name="to_rgb")(
-            x.astype(jnp.float32))
-        return jnp.tanh(x)
+        dims0 = cfg.base_channels * cfg.channel_mult[-1]
+        x = causal_conv3d(z.astype(cfg.dtype), dims0, "conv1",
+                          dtype=cfg.dtype)
+        x = ResidualBlock(dims0, dtype=cfg.dtype, name="middle_0")(x)
+        x = AttentionBlock(dtype=cfg.dtype, name="middle_1")(x)
+        x = ResidualBlock(dims0, dtype=cfg.dtype, name="middle_2")(x)
+        for idx, kind, feat in decoder_schedule(cfg):
+            name = f"upsamples_{idx}"
+            if kind == "res":
+                x = ResidualBlock(feat, dtype=cfg.dtype, name=name)(x)
+            elif kind == "up2d":
+                x = Upsample2D(dtype=cfg.dtype, name=name)(x)
+            else:
+                x = Upsample3D(dtype=cfg.dtype, name=name)(x)
+        x = nn.silu(RMSNormCh(name="head_0")(x))
+        x = causal_conv3d(x.astype(jnp.float32), 3, "head_2",
+                          dtype=jnp.float32)
+        return jnp.clip(x, -1.0, 1.0)
 
 
 class VideoVAE(nn.Module):
     cfg: VideoVAEConfig = VideoVAEConfig()
 
     def setup(self):
-        self.encoder = VideoEncoder(self.cfg)
-        self.decoder = VideoDecoder(self.cfg)
+        cfg = self.cfg
+        self.encoder = VideoEncoder(cfg)
+        self.quant_conv = nn.Conv(               # torch key: conv1
+            2 * cfg.latent_channels, (1, 1, 1), dtype=jnp.float32,
+            name="conv1")
+        self.post_quant_conv = nn.Conv(          # torch key: conv2
+            cfg.latent_channels, (1, 1, 1), dtype=jnp.float32,
+            name="conv2")
+        self.decoder = VideoDecoder(cfg)
+
+    def _scale(self):
+        cfg = self.cfg
+        if cfg.latent_mean is None:
+            return None, None
+        return (jnp.asarray(cfg.latent_mean, jnp.float32),
+                jnp.asarray(cfg.latent_std, jnp.float32))
 
     def encode(self, video, rng=None):
-        mu, logvar = self.encoder(video)
-        if rng is None:
-            return mu
-        return mu + jnp.exp(0.5 * logvar) * jax.random.normal(rng, mu.shape)
+        """[B, T, H, W, 3] in [-1,1] -> normalized latents
+        [B, 1+k, H/s, W/s, z]. rng enables reparameterized sampling
+        (mu-only, the Wan encode semantics, when rng is None)."""
+        stats = self.quant_conv(self.encoder(video))
+        mu, logvar = jnp.split(stats, 2, axis=-1)
+        if rng is not None:
+            logvar = jnp.clip(logvar, -30.0, 20.0)
+            mu = mu + jnp.exp(0.5 * logvar) * jax.random.normal(
+                rng, mu.shape)
+        mean, std = self._scale()
+        if mean is not None:
+            mu = (mu - mean) / std
+        return mu
 
     def decode(self, z):
-        return self.decoder(z)
+        mean, std = self._scale()
+        if mean is not None:
+            z = z * std + mean
+        return self.decoder(self.post_quant_conv(z.astype(jnp.float32)))
 
     def decode_tiled(self, z, tile: int = 32, overlap: int = 4):
         """Spatially tiled decode with linear blending (the reference's
         tiled=True VRAM path, videogen/inference.py:171). Host-level loop —
         each tile decode is one jitted call."""
         B, T, H, W, C = z.shape
-        scale = 8
-        out = jnp.zeros((B, 1 + 4 * (T - 1), H * scale, W * scale, 3))
+        scale = self.cfg.spatial_scale
+        t_out = 1 + self.cfg.temporal_scale * (T - 1)
+        out = jnp.zeros((B, t_out, H * scale, W * scale, 3))
         acc = jnp.zeros((1, 1, H * scale, W * scale, 1))
         step = tile - overlap
         for i0 in range(0, max(H - overlap, 1), step):
             for j0 in range(0, max(W - overlap, 1), step):
                 i1, j1 = min(i0 + tile, H), min(j0 + tile, W)
-                dec = self.decoder(z[:, :, i0:i1, j0:j1])
-                wy = _blend_profile(i1 - i0, overlap * scale)
-                wx = _blend_profile(j1 - j0, overlap * scale)
+                dec = self.decode(z[:, :, i0:i1, j0:j1])
+                wy = _blend_profile((i1 - i0) * scale, overlap * scale)
+                wx = _blend_profile((j1 - j0) * scale, overlap * scale)
                 wgt = (wy[:, None] * wx[None, :])[None, None, :, :, None]
                 out = out.at[:, :, i0 * scale:i1 * scale,
                              j0 * scale:j1 * scale].add(dec * wgt)
@@ -208,15 +350,14 @@ class VideoVAE(nn.Module):
                              j0 * scale:j1 * scale].add(wgt)
         return out / jnp.maximum(acc, 1e-6)
 
-    def __call__(self, video, rng):
-        z = self.encode(video, rng)
-        return self.decode(z)
+    def __call__(self, video, rng=None):
+        return self.decode(self.encode(video, rng))
 
 
-def _blend_profile(n_latent: int, ramp: int) -> jnp.ndarray:
-    n = n_latent * 8
+def _blend_profile(n: int, ramp: int) -> jnp.ndarray:
     w = jnp.ones((n,))
-    r = jnp.minimum(ramp, n // 2)
-    ramp_up = (jnp.arange(r) + 1.0) / (r + 1.0)
-    w = w.at[:r].set(ramp_up).at[-r:].set(ramp_up[::-1])
+    r = min(ramp, n // 2)
+    if r > 0:
+        ramp_up = (jnp.arange(r) + 1.0) / (r + 1.0)
+        w = w.at[:r].set(ramp_up).at[-r:].set(ramp_up[::-1])
     return w

@@ -97,3 +97,112 @@ def test_initialize_buffer_embedder_on_vanilla_checkpoint():
     without = WanDiT(cfg).apply(params, lat, t, txt, None)
     np.testing.assert_allclose(np.asarray(with_buf), np.asarray(without),
                                atol=1e-6)
+
+
+def test_wan_vae_matches_torch_mirror():
+    """Converted Wan VAE weights must reproduce the torch mirror's encode
+    and decode on a tiny config (checkpoint path for the video VAE;
+    reference loads Wan2.1_VAE.pth, inference.py:63-81)."""
+    from infinicube_tpu.models.wan.vae3d import VideoVAE, VideoVAEConfig
+    from infinicube_tpu.weights.wan_convert import convert_wan_vae
+    from torch_mirrors.wan_vae_torch import WanVAEMirror
+
+    torch.manual_seed(0)
+    mirror = WanVAEMirror(dim=8, z_dim=4, dim_mult=(1, 2, 2),
+                          num_res_blocks=1,
+                          temperal_downsample=(False, True)).eval()
+    cfg = VideoVAEConfig(latent_channels=4, base_channels=8,
+                         channel_mult=(1, 2, 2), num_res_blocks=1,
+                         temporal_down=(False, True), dtype=jnp.float32)
+    params = convert_wan_vae(mirror.state_dict())
+    vae = VideoVAE(cfg)
+
+    rng = np.random.default_rng(0)
+    vid = rng.uniform(-1, 1, (1, 5, 16, 16, 3)).astype(np.float32)
+    with torch.no_grad():
+        mu_t = mirror.encode(
+            torch.from_numpy(vid.transpose(0, 4, 1, 2, 3))).numpy()
+        dec_t = mirror.decode(torch.from_numpy(mu_t)).numpy()
+    mu_j = vae.apply(params, jnp.asarray(vid), method=VideoVAE.encode)
+    mu_j_t = np.asarray(mu_j).transpose(0, 4, 1, 2, 3)
+    np.testing.assert_allclose(mu_j_t, mu_t, atol=2e-4, rtol=1e-3)
+    assert mu_t.shape == (1, 4, 3, 4, 4)  # [B, z, 1+(T-1)/2, H/4, W/4]
+
+    dec_j = vae.apply(params, mu_j, method=VideoVAE.decode)
+    np.testing.assert_allclose(np.asarray(dec_j).transpose(0, 4, 1, 2, 3),
+                               dec_t, atol=2e-4, rtol=1e-3)
+
+
+def test_umt5_matches_transformers():
+    """Converted HF UMT5 weights must reproduce UMT5EncoderModel numerics
+    (the umt5-xxl conditioning tower, reference inference.py:63-88)."""
+    from transformers import UMT5Config as HFCfg, UMT5EncoderModel
+    from infinicube_tpu.models.wan.t5 import T5Config, T5Encoder
+    from infinicube_tpu.weights.wan_convert import convert_umt5_hf
+
+    torch.manual_seed(0)
+    hf = UMT5EncoderModel(HFCfg(
+        vocab_size=512, d_model=64, d_ff=128, num_layers=2, num_heads=4,
+        d_kv=16, relative_attention_num_buckets=32,
+        relative_attention_max_distance=128, feed_forward_proj="gated-gelu",
+        dropout_rate=0.0, is_encoder_decoder=False, use_cache=False)).eval()
+    cfg = T5Config.tiny(dtype=jnp.float32)
+    params = convert_umt5_hf(hf.state_dict(), num_layers=2)
+
+    ids = np.array([[5, 9, 200, 3, 1, 0, 0]], np.int64)
+    mask = (ids != 0)
+    with torch.no_grad():
+        ref = hf(input_ids=torch.from_numpy(ids),
+                 attention_mask=torch.from_numpy(mask.astype(np.int64))
+                 ).last_hidden_state.numpy()
+    out = T5Encoder(cfg).apply(params, jnp.asarray(ids, jnp.int32),
+                               jnp.asarray(mask))
+    out = np.asarray(out)
+    # our encoder zeroes masked positions; compare valid tokens
+    np.testing.assert_allclose(out[mask], ref[mask], atol=2e-4, rtol=1e-3)
+
+
+def test_umt5_wan_layout_converts():
+    """The Wan .pth key layout maps onto the same tree (synthesized state
+    dict with Wan key names; gate.0 is the GELU branch)."""
+    from infinicube_tpu.models.wan.t5 import T5Config, T5Encoder
+    from infinicube_tpu.weights.wan_convert import (
+        convert_umt5_hf, convert_umt5_wan)
+    from transformers import UMT5Config as HFCfg, UMT5EncoderModel
+
+    torch.manual_seed(1)
+    hf = UMT5EncoderModel(HFCfg(
+        vocab_size=512, d_model=64, d_ff=128, num_layers=2, num_heads=4,
+        d_kv=16, relative_attention_num_buckets=32,
+        relative_attention_max_distance=128, feed_forward_proj="gated-gelu",
+        dropout_rate=0.0, is_encoder_decoder=False, use_cache=False)).eval()
+    hsd = hf.state_dict()
+    wan_sd = {"token_embedding.weight": hsd["shared.weight"],
+              "norm.weight": hsd["encoder.final_layer_norm.weight"]}
+    for i in range(2):
+        b, hb = f"blocks.{i}", f"encoder.block.{i}"
+        att = f"{hb}.layer.0.SelfAttention"
+        wan_sd.update({
+            f"{b}.norm1.weight": hsd[f"{hb}.layer.0.layer_norm.weight"],
+            f"{b}.attn.q.weight": hsd[f"{att}.q.weight"],
+            f"{b}.attn.k.weight": hsd[f"{att}.k.weight"],
+            f"{b}.attn.v.weight": hsd[f"{att}.v.weight"],
+            f"{b}.attn.o.weight": hsd[f"{att}.o.weight"],
+            f"{b}.pos_embedding.embedding.weight":
+                hsd[f"{att}.relative_attention_bias.weight"],
+            f"{b}.norm2.weight": hsd[f"{hb}.layer.1.layer_norm.weight"],
+            f"{b}.ffn.gate.0.weight":
+                hsd[f"{hb}.layer.1.DenseReluDense.wi_0.weight"],
+            f"{b}.ffn.fc1.weight":
+                hsd[f"{hb}.layer.1.DenseReluDense.wi_1.weight"],
+            f"{b}.ffn.fc2.weight":
+                hsd[f"{hb}.layer.1.DenseReluDense.wo.weight"],
+        })
+    p_hf = convert_umt5_hf(hsd, 2)
+    p_wan = convert_umt5_wan(wan_sd, 2)
+    cfg = T5Config.tiny(dtype=jnp.float32)
+    ids = jnp.asarray([[7, 3, 100]], jnp.int32)
+    mask = jnp.ones((1, 3), bool)
+    a = T5Encoder(cfg).apply(p_hf, ids, mask)
+    b = T5Encoder(cfg).apply(p_wan, ids, mask)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
