@@ -27,6 +27,9 @@ import jax.numpy as jnp
 
 from infinicube_tpu.grid.grid import Grid
 from infinicube_tpu.grid.ops import neighbor_indexes
+from infinicube_tpu.nn.brick import (
+    BrickPlan, brick_conv_taps, brick_conv_xla, from_bricks, halo_pad,
+    to_bricks)
 
 
 def gather_neighbor_features(feats: jnp.ndarray, nbr: jnp.ndarray,
@@ -39,18 +42,27 @@ def gather_neighbor_features(feats: jnp.ndarray, nbr: jnp.ndarray,
 
 
 class SparseConv3d(nn.Module):
-    """Gather-GEMM sparse convolution on a fixed grid (stride 1).
+    """Sparse 3x3x3 convolution on a fixed grid (stride 1), two backends:
 
-    Call with (feats [B, C, F], nbr [B, C, K]) where nbr comes from
-    ``neighbor_indexes(grid, kernel_size)`` (compute once per grid, reuse
-    across every conv on that grid)."""
+    - ``plan`` = int32[B, C, K] neighbor table (``neighbor_indexes``):
+      gather-GEMM — 27 row-gathers + matmuls. Simple, HBM-gather bound.
+    - ``plan`` = ``BrickPlan`` (``nn.brick.build_brick_plan``): brick-dense
+      fast path — structured halo gathers + dense MXU math (10-30x faster;
+      see nn/brick.py). ``brick_resident=True`` means feats are already
+      brick-dense [B, NB*V, F] and the output stays brick-dense (used by
+      SparseResBlock to amortize the voxel<->brick conversion).
+
+    Parameters are identical across backends (kernel [K, F_in, F_out] in
+    neighbor_offsets tap order), so checkpoints are interchangeable."""
     features: int
     kernel_volume: int = 27
     use_bias: bool = True
     dtype: jnp.dtype = jnp.float32
+    brick_impl: str = "taps"
 
     @nn.compact
-    def __call__(self, feats: jnp.ndarray, nbr: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, feats: jnp.ndarray, plan,
+                 brick_resident: bool = False) -> jnp.ndarray:
         K = self.kernel_volume
         F_in = feats.shape[-1]
         scale = 1.0 / math.sqrt(K * F_in)
@@ -59,15 +71,27 @@ class SparseConv3d(nn.Module):
         feats = feats.astype(self.dtype)
         w = w.astype(self.dtype)
 
-        def body(acc, k):
-            tap = gather_neighbor_features(feats, nbr, k)
-            return acc + jnp.einsum("bcf,fo->bco", tap, w[k]), None
+        if isinstance(plan, BrickPlan):
+            conv = brick_conv_xla if self.brick_impl == "xla" \
+                else brick_conv_taps
+            bricks = feats if brick_resident else to_bricks(plan, feats)
+            out = conv(halo_pad(plan, bricks), w)
+            if not brick_resident:
+                out = from_bricks(plan, out)
+        else:
+            def body(acc, k):
+                tap = gather_neighbor_features(feats, plan, k)
+                return acc + jnp.einsum("bcf,fo->bco", tap, w[k]), None
 
-        acc0 = jnp.zeros(feats.shape[:2] + (self.features,), self.dtype)
-        out, _ = jax.lax.scan(body, acc0, jnp.arange(K))
+            acc0 = jnp.zeros(feats.shape[:2] + (self.features,), self.dtype)
+            out, _ = jax.lax.scan(body, acc0, jnp.arange(K))
         if self.use_bias:
             out = out + self.param("bias", nn.initializers.zeros,
                                    (self.features,)).astype(self.dtype)
+        if isinstance(plan, BrickPlan) and brick_resident:
+            # keep empty slots exactly zero (submanifold: absent voxels must
+            # contribute nothing to later taps)
+            out = jnp.where(plan.dense_mask[..., None], out, 0.0)
         return out
 
 
@@ -100,11 +124,28 @@ class SparseResBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, feats, nbr, mask):
+    def __call__(self, feats, plan, mask):
+        if isinstance(plan, BrickPlan):
+            # brick-resident: convert once, keep everything on dense slots
+            # (GroupNorm/Dense over dense slots with the dense-occupancy mask
+            # are exactly the masked voxel-row ops on the same active set)
+            dm = plan.dense_mask
+            xb = to_bricks(plan, feats)
+            h = nn.silu(GroupNormSparse()(xb, dm))
+            h = SparseConv3d(self.features, dtype=self.dtype,
+                             name="conv1")(h, plan, brick_resident=True)
+            h = nn.silu(GroupNormSparse()(h, dm))
+            h = SparseConv3d(self.features, dtype=self.dtype,
+                             name="conv2")(h, plan, brick_resident=True)
+            if feats.shape[-1] != self.features:
+                xb = nn.Dense(self.features, dtype=self.dtype,
+                              name="skip")(xb)
+            out = from_bricks(plan, xb + h)
+            return jnp.where(mask[..., None], out, 0.0)
         h = nn.silu(GroupNormSparse()(feats, mask))
-        h = SparseConv3d(self.features, dtype=self.dtype, name="conv1")(h, nbr)
+        h = SparseConv3d(self.features, dtype=self.dtype, name="conv1")(h, plan)
         h = nn.silu(GroupNormSparse()(h, mask))
-        h = SparseConv3d(self.features, dtype=self.dtype, name="conv2")(h, nbr)
+        h = SparseConv3d(self.features, dtype=self.dtype, name="conv2")(h, plan)
         if feats.shape[-1] != self.features:
             feats = nn.Dense(self.features, dtype=self.dtype,
                              name="skip")(feats)
