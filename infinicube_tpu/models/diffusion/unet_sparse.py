@@ -19,7 +19,7 @@ from infinicube_tpu.grid.grid import Grid
 from infinicube_tpu.grid.ops import max_pool, neighbor_indexes, upsample_nearest
 from infinicube_tpu.models.diffusion.unet3d import timestep_embedding
 from infinicube_tpu.nn.sparse import (
-    GroupNormSparse, SparseConv3d, sparse_attention)
+    GroupNormSparse, SparseConv3d, conv_plan, sparse_attention)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -31,6 +31,7 @@ class SparseUNetConfig:
     attend_levels: Sequence[int] = (1,)
     num_heads: int = 4
     pooling_factor: tuple = (2, 2, 2)
+    conv_backend: str = "auto"
     dtype: Any = jnp.float32
 
 
@@ -85,7 +86,7 @@ class SparseUNet(nn.Module):
         h = nn.Dense(ch, name="in_proj")(x)
         skips = []
         for l, mult in enumerate(cfg.channel_mult):
-            nbr = neighbor_indexes(grids[l], 3)
+            nbr = conv_plan(grids[l], cfg.conv_backend)
             for i in range(cfg.num_res_blocks):
                 h = SparseTimestepResBlock(ch * mult, cfg.dtype,
                                            name=f"enc{l}_{i}")(
@@ -99,7 +100,7 @@ class SparseUNet(nn.Module):
                 _, h = max_pool(grids[l], h, cfg.pooling_factor,
                                 coarse=grids[l + 1])
 
-        nbr = neighbor_indexes(grids[L - 1], 3)
+        nbr = conv_plan(grids[L - 1], cfg.conv_backend)
         h = SparseTimestepResBlock(h.shape[-1], cfg.dtype, name="mid1")(
             h, emb, nbr, grids[L - 1].mask)
         h = SparseAttentionBlock(cfg.num_heads, name="mid_attn")(
@@ -125,7 +126,7 @@ class SparseUNet(nn.Module):
             _, h = upsample_nearest(grids[l + 1], h, cfg.pooling_factor,
                                     fine=grids[l])
             h = jnp.concatenate([h, skips[l]], axis=-1)
-            nbr = neighbor_indexes(grids[l], 3)
+            nbr = conv_plan(grids[l], cfg.conv_backend)
             h = SparseTimestepResBlock(ch * cfg.channel_mult[l], cfg.dtype,
                                        name=f"dec{l}")(
                 h, emb, nbr, grids[l].mask)

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from infinicube_tpu.grid.grid import Grid
 from infinicube_tpu.grid.ops import max_pool, neighbor_indexes, upsample_nearest
-from infinicube_tpu.nn.sparse import SparseResBlock
+from infinicube_tpu.nn.sparse import SparseResBlock, conv_plan
 from infinicube_tpu.models.gsm.lifter import sample_image_features
 
 
@@ -34,6 +34,7 @@ class VoxelBranchConfig:
     gaussians_per_voxel: int = 4       # release gsplat_upsample=4
     gs_free_space: float = 1.5         # offset bound in voxel units
     max_scaling: float = 12.0          # scale clamp (x voxel size)
+    conv_backend: str = "auto"
     dtype: Any = jnp.float32
 
 
@@ -84,7 +85,7 @@ class VoxelBranch(nn.Module):
         skips = []
         # encoder (guided pooling down the pyramid)
         for l in range(L):
-            nbr = neighbor_indexes(grids[l], 3)
+            nbr = conv_plan(grids[l], self.cfg.conv_backend)
             h = SparseResBlock(cfg.f_maps * 2 ** l, dtype=cfg.dtype,
                                name=f"enc{l}")(h, nbr, grids[l].mask)
             skips.append(h)
@@ -96,7 +97,7 @@ class VoxelBranch(nn.Module):
             _, h = upsample_nearest(grids[l + 1], h, cfg.pooling_factor,
                                     fine=grids[l])
             h = jnp.concatenate([h, skips[l]], axis=-1)
-            nbr = neighbor_indexes(grids[l], 3)
+            nbr = conv_plan(grids[l], self.cfg.conv_backend)
             h = SparseResBlock(cfg.f_maps * 2 ** l, dtype=cfg.dtype,
                                name=f"dec{l}")(h, nbr, grids[l].mask)
 

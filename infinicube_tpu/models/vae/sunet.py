@@ -41,7 +41,8 @@ from infinicube_tpu.grid.build import (
 from infinicube_tpu.grid.grid import Grid
 from infinicube_tpu.grid.ops import (
     index_map, max_pool, neighbor_indexes, to_dense, upsample_nearest)
-from infinicube_tpu.nn.sparse import GroupNormSparse, SparseResBlock
+from infinicube_tpu.nn.sparse import (
+    GroupNormSparse, SparseResBlock, conv_plan)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -59,6 +60,7 @@ class SparseVAEConfig:
     finest_voxel_size: tuple = (0.2, 0.2, 0.2)
     origin: tuple = (0.1, 0.1, 0.1)
     use_normal_head: bool = False
+    conv_backend: str = "auto"            # sparse-conv plan (nn.sparse.conv_plan)
     dtype: object = jnp.float32
 
     @property
@@ -179,9 +181,9 @@ class SparseStructureVAE(nn.Module):
         cfg = self.cfg
         h = self.featurizer(grids[0], semantics)
         for l, g in enumerate(grids):
-            nbr = neighbor_indexes(g, 3)
+            plan = conv_plan(g, cfg.conv_backend)
             for blk in self.enc_blocks[l]:
-                h = blk(h, nbr, g.mask)
+                h = blk(h, plan, g.mask)
             if l < len(cfg.pooling_factors):
                 _, h = max_pool(g, h, cfg.pooling_factors[l],
                                 coarse=grids[l + 1])
@@ -238,9 +240,9 @@ class SparseStructureVAE(nn.Module):
                             cfg.neck_ijk_min)
 
         for l in range(L - 1, -1, -1):
-            nbr = neighbor_indexes(grid, 3)
+            plan = conv_plan(grid, cfg.conv_backend)
             for blk in self.dec_blocks[l]:
-                h = blk(h.astype(cfg.dtype), nbr, grid.mask)
+                h = blk(h.astype(cfg.dtype), plan, grid.mask)
             if l == 0:
                 break
             factor = cfg.pooling_factors[l - 1]

@@ -133,10 +133,17 @@ class WanAttention(nn.Module):
         cfg = self.cfg
         B, N, C = x.shape
         h, hd = cfg.num_heads, cfg.dim // cfg.num_heads
-        kv_in = context if self.cross else x
-        q = _dense(C, ("embed_in", "heads"), "q", cfg.dtype)(x)
-        k = _dense(C, ("embed_in", "heads"), "k", cfg.dtype)(kv_in)
-        v = _dense(C, ("embed_in", "heads"), "v", cfg.dtype)(kv_in)
+        # fused projections: one [C, 3C] (self) / q + [C, 2C] (cross) matmul
+        # instead of three — fewer, larger MXU calls (the converter concats
+        # the reference's separate q/k/v weights to match)
+        if self.cross:
+            q = _dense(C, ("embed_in", "heads"), "q", cfg.dtype)(x)
+            kv = _dense(2 * C, ("embed_in", "heads"), "kv",
+                        cfg.dtype)(context)
+            k, v = jnp.split(kv, 2, axis=-1)
+        else:
+            qkv = _dense(3 * C, ("embed_in", "heads"), "qkv", cfg.dtype)(x)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
         # Wan applies RMSNorm over the FULL dim (all heads at once) before
         # the head reshape — upstream WanSelfAttention norm_q(self.q(x)) on
         # [B, L, dim]; per-head normalization would change the denominator.

@@ -71,7 +71,11 @@ class SparseConv3d(nn.Module):
         feats = feats.astype(self.dtype)
         w = w.astype(self.dtype)
 
-        if isinstance(plan, BrickPlan):
+        from infinicube_tpu.ops.window_conv import (
+            WindowPlan, window_sparse_conv)
+        if isinstance(plan, WindowPlan):
+            out = window_sparse_conv(plan, feats, w)
+        elif isinstance(plan, BrickPlan):
             conv = brick_conv_xla if self.brick_impl == "xla" \
                 else brick_conv_taps
             bricks = feats if brick_resident else to_bricks(plan, feats)
@@ -177,3 +181,24 @@ def sparse_attention(feats: jnp.ndarray, mask: jnp.ndarray, num_heads: int,
 def compute_neighbor_maps(grids: list[Grid], kernel_size: int = 3):
     """Precompute neighbor tables for a grid pyramid (one per level)."""
     return [neighbor_indexes(g, kernel_size) for g in grids]
+
+
+def conv_plan(grid: Grid, backend: str = "auto"):
+    """Build the per-grid plan SparseConv3d consumes (one per grid, reused by
+    every conv on it).
+
+    backend: "gather" (neighbor table), "window" (Pallas window-GEMM,
+    ops/window_conv.py — the TPU fast path, 5-50x faster), "brick"
+    (nn/brick.py), or "auto" = window on TPU, gather elsewhere (identical
+    parameters/outputs, so the choice is purely a speed knob)."""
+    import jax as _jax
+    if backend == "auto":
+        backend = "window" if _jax.devices()[0].platform == "tpu" \
+            else "gather"
+    if backend == "window":
+        from infinicube_tpu.ops.window_conv import build_window_plan
+        return build_window_plan(grid)
+    if backend == "brick":
+        from infinicube_tpu.nn.brick import build_brick_plan
+        return build_brick_plan(grid)
+    return neighbor_indexes(grid, 3)

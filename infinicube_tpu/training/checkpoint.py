@@ -22,25 +22,45 @@ except Exception:  # pragma: no cover
 
 
 class CheckpointManager:
+    """``monitor``/``mode`` switch retention from keep-last-k to
+    top-k-on-metric (the reference's ModelCheckpoint(monitor='val_step',
+    save_top_k), train.py:307-315): pass the validation metrics dict to
+    ``save`` and the k best checkpoints by that key are retained."""
+
     def __init__(self, directory: str | Path, max_to_keep: int = 2,
-                 save_interval_steps: int = 50):
+                 save_interval_steps: int = 50,
+                 monitor: str | None = None, mode: str = "min"):
         self.directory = Path(directory).absolute()
         self.directory.mkdir(parents=True, exist_ok=True)
+        self.monitor = monitor
         if _HAS_ORBAX:
+            kw = {}
+            if monitor is not None:
+                kw = dict(best_fn=lambda m: float(m.get(monitor, np.inf)),
+                          best_mode=mode, keep_checkpoints_without_metrics=False)
             self._mgr = ocp.CheckpointManager(
                 self.directory,
                 options=ocp.CheckpointManagerOptions(
                     max_to_keep=max_to_keep,
                     save_interval_steps=save_interval_steps,
-                    create=True))
+                    create=True, **kw))
         else:
             self._mgr = None
         self._interval = save_interval_steps
 
-    def save(self, step: int, state: Any, force: bool = False):
+    def save(self, step: int, state: Any, force: bool = False,
+             metrics: dict | None = None):
         if self._mgr is not None:
+            if force and step in self._mgr.all_steps():
+                return  # already saved at this step (final save after loop)
+            kw = {}
+            if self.monitor is not None:
+                if metrics is None and not force:
+                    return  # top-k-on-metric: unranked saves are skipped
+                kw["metrics"] = {k: float(v) for k, v in
+                                 (metrics or {}).items() if np.ndim(v) == 0}
             self._mgr.save(step, args=ocp.args.StandardSave(state),
-                           force=force)
+                           force=force, **kw)
         else:  # numpy fallback
             if not force and step % self._interval:
                 return

@@ -111,11 +111,19 @@ def convert_wan_block(sd: Mapping, i: int, num_heads: int) -> dict:
                for k, v in out.items()}
         return out
 
+    def fuse(parts: list[dict]) -> dict:
+        """Concat separate linears into one fused projection (output axis)."""
+        out = {"kernel": np.concatenate([q["kernel"] for q in parts], -1)}
+        if "bias" in parts[0]:
+            out["bias"] = np.concatenate([q["bias"] for q in parts], -1)
+        return out
+
     blk = {
         "self_attn": {
-            "q": rope_linear(f"{p}.self_attn.q"),
-            "k": rope_linear(f"{p}.self_attn.k"),
-            "v": convert_linear(sd, f"{p}.self_attn.v"),
+            # dit.WanAttention uses one fused [C, 3C] qkv projection
+            "qkv": fuse([rope_linear(f"{p}.self_attn.q"),
+                         rope_linear(f"{p}.self_attn.k"),
+                         convert_linear(sd, f"{p}.self_attn.v")]),
             "o": convert_linear(sd, f"{p}.self_attn.o"),
             "q_norm": {"scale": _rope_interleave_to_halfsplit(
                 t2j(sd[f"{p}.self_attn.norm_q.weight"]), num_heads)},
@@ -124,8 +132,8 @@ def convert_wan_block(sd: Mapping, i: int, num_heads: int) -> dict:
         },
         "cross_attn": {
             "q": convert_linear(sd, f"{p}.cross_attn.q"),
-            "k": convert_linear(sd, f"{p}.cross_attn.k"),
-            "v": convert_linear(sd, f"{p}.cross_attn.v"),
+            "kv": fuse([convert_linear(sd, f"{p}.cross_attn.k"),
+                        convert_linear(sd, f"{p}.cross_attn.v")]),
             "o": convert_linear(sd, f"{p}.cross_attn.o"),
             "q_norm": {"scale": t2j(sd[f"{p}.cross_attn.norm_q.weight"])},
             "k_norm": {"scale": t2j(sd[f"{p}.cross_attn.norm_k.weight"])},

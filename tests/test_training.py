@@ -126,3 +126,47 @@ def test_resolve_checkpoint_paths(tmp_path):
     assert resolve_checkpoint("/some/local/path").name == "path"
     with pytest.raises(FileNotFoundError):
         resolve_checkpoint(f"tb:{tmp_path}/empty")
+
+
+def test_default_val_fn_and_topk_monitor(tmp_path):
+    """val_data without val_fn triggers the default EMA validation; its
+    metrics drive top-k-on-metric checkpoint retention (ckpt_monitor)."""
+    mesh = make_mesh(MeshConfig(data=-1, model=1))
+    params = {"w": jnp.zeros(3)}
+    target = jnp.array([1.0, -2.0, 0.5])
+
+    def loss_fn(p, rng, batch):
+        pred = batch @ p["w"]
+        gt = batch @ target
+        loss = jnp.mean((pred - gt) ** 2)
+        return loss, {"mse": loss}
+
+    rng = np.random.default_rng(0)
+
+    def batches():
+        while True:
+            yield jnp.asarray(rng.normal(size=(8, 3)), jnp.float32)
+
+    def val_data():
+        vr = np.random.default_rng(1)
+        for _ in range(2):
+            yield jnp.asarray(vr.normal(size=(8, 3)), jnp.float32)
+
+    logs = []
+    state = train(
+        LoopConfig(max_steps=60, log_every=20, val_every=20, val_batches=2,
+                   ckpt_every=20, ckpt_dir=str(tmp_path / "ck"),
+                   ckpt_keep=1, ckpt_monitor="val_loss", resume=False),
+        TrainConfig(learning_rate=0.05, use_ema=True),
+        params, loss_fn, batches(), jax.random.PRNGKey(0),
+        logger=lambda s, m: logs.append((s, m)), val_data=val_data,
+        mesh=mesh)
+    assert int(state.step) == 60
+    val_logs = [(s, m) for s, m in logs if "val/val_loss" in m]
+    assert len(val_logs) >= 2            # default val_fn ran on schedule
+    assert "val/mse" in val_logs[0][1]   # loss_fn metrics forwarded
+    # val loss improves (EMA lags but must still trend down)
+    assert val_logs[-1][1]["val/val_loss"] < val_logs[0][1]["val/val_loss"]
+    # top-k retention kept a checkpoint
+    mgr = CheckpointManager(str(tmp_path / "ck"), 1, 20, monitor="val_loss")
+    assert mgr.latest_step() is not None

@@ -1,0 +1,103 @@
+"""Window-GEMM sparse conv (ops/window_conv.py) vs the gather-GEMM path.
+
+Runs in Pallas interpret mode on the CPU backend; numerics must match the
+27-tap gather conv exactly (f32) on active voxels, including fallback pairs
+and gradients."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from infinicube_tpu.grid.build import grid_from_points
+from infinicube_tpu.grid.ops import neighbor_indexes
+from infinicube_tpu.nn.sparse import SparseConv3d
+from infinicube_tpu.ops.window_conv import (
+    build_window_plan, window_sparse_conv)
+from tests.test_brick_conv import surface_points
+
+
+@pytest.fixture(scope="module")
+def setup():
+    pts = surface_points(6000)
+    g = grid_from_points(jnp.asarray(pts)[None], jnp.ones((1, len(pts)), bool),
+                         0.25, 0.0, capacity=4096)
+    nbr = neighbor_indexes(g, 3)
+    plan = build_window_plan(g, block_rows=128, window_rows=256)
+    feats = jax.random.normal(jax.random.PRNGKey(1), (1, 4096, 16))
+    feats = jnp.where(g.mask[..., None], feats, 0.0)
+    w = jax.random.normal(jax.random.PRNGKey(2), (27, 16, 24)) * 0.1
+    return g, nbr, plan, feats, w
+
+
+def _gather_ref(feats, nbr, w):
+    out = 0
+    for t in range(27):
+        idx = nbr[:, :, t]
+        got = jax.vmap(lambda f, i: f[jnp.clip(i, 0)])(feats, idx)
+        got = jnp.where((idx >= 0)[..., None], got, 0.0)
+        out = out + jnp.einsum("bcf,fo->bco", got, w[t])
+    return out
+
+
+def test_forward_matches_gather(setup):
+    g, nbr, plan, feats, w = setup
+    ref = _gather_ref(feats, nbr, w)
+    out = window_sparse_conv(plan, feats, w)
+    m = jax.device_get(g.mask[0])
+    np.testing.assert_allclose(jax.device_get(out[0])[m],
+                               jax.device_get(ref[0])[m], atol=1e-4)
+
+
+def test_misses_handled_exactly(setup):
+    """A tiny window forces many fallback pairs; result must stay exact."""
+    g, nbr, plan, feats, w = setup
+    small = build_window_plan(g, block_rows=128, window_rows=128,
+                              miss_capacity=1 << 16)
+    assert int(jax.device_get(small.num_missed)[0]) > 0
+    assert not bool(jax.device_get(small.overflowed)[0])
+    ref = _gather_ref(feats, nbr, w)
+    out = window_sparse_conv(small, feats, w)
+    m = jax.device_get(g.mask[0])
+    np.testing.assert_allclose(jax.device_get(out[0])[m],
+                               jax.device_get(ref[0])[m], atol=1e-4)
+
+
+def test_overflow_surfaced(setup):
+    g, nbr, plan, feats, w = setup
+    tiny = build_window_plan(g, block_rows=128, window_rows=128,
+                             miss_capacity=128)
+    if int(jax.device_get(tiny.num_missed)[0]) > 128:
+        assert bool(jax.device_get(tiny.overflowed)[0])
+
+
+def test_gradients_match_gather(setup):
+    g, nbr, plan, feats, w = setup
+    cot = jax.random.normal(jax.random.PRNGKey(3), (1, 4096, 24))
+    cot = jnp.where(g.mask[..., None], cot, 0.0)
+
+    def loss_win(f, w):
+        return jnp.sum(window_sparse_conv(plan, f, w) * cot)
+
+    def loss_ref(f, w):
+        return jnp.sum(_gather_ref(f, nbr, w) * cot)
+
+    gw = jax.grad(loss_win, argnums=(0, 1))(feats, w)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(feats, w)
+    m = jax.device_get(g.mask[0])
+    np.testing.assert_allclose(jax.device_get(gw[0][0])[m],
+                               jax.device_get(gr[0][0])[m], atol=1e-3)
+    np.testing.assert_allclose(jax.device_get(gw[1]), jax.device_get(gr[1]),
+                               rtol=2e-3, atol=1e-3)
+
+
+def test_sparse_conv_module_dispatch(setup):
+    """SparseConv3d accepts a WindowPlan as its plan argument."""
+    g, nbr, plan, feats, w = setup
+    conv = SparseConv3d(24)
+    params = conv.init(jax.random.PRNGKey(4), feats, nbr)
+    ref = conv.apply(params, feats, nbr)
+    out = conv.apply(params, feats, plan)
+    m = jax.device_get(g.mask[0])
+    np.testing.assert_allclose(jax.device_get(out[0])[m],
+                               jax.device_get(ref[0])[m], atol=1e-4)
