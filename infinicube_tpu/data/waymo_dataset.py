@@ -7,19 +7,29 @@ Mirror of the reference's WaymoWdsDataset
   shard-by-rank logic at waymo_wds.py:249-266 mapped to jax.process_index),
 - each clip contributes ``samples_per_shard`` samples with random start
   frames,
-- per sample: attribute members for the chosen frames are read from the
-  clip's attribute tars (pose / intrinsic / pc / objects / maps / images /
-  depth / skymask), decoded, and transformed: grid-crop around the first
-  input camera's FLU frame (with crop-center jitter augmentation,
-  waymo_wds.py:444-447), CAD-car replacement or dynamic-LiDAR merge,
-  map points to crop coordinates, healthy-box filtering, 4-channel GSM
-  image masks (waymo_wds.py:612-634).
+- per sample, the reference transform (waymo_wds.py:415-639):
+  * crop frame = first input camera's FLU pose RE-CENTERED on the crop box
+    center (+ optional jitter augmentation), so crop coordinates are
+    symmetric about the grid origin (crop_pcd_and_generate_grid_raw:434-455),
+  * either CAD-car replacement (vehicle-class points removed, procedural
+    CAD car points stamped per box — the reference instances CAD meshes and
+    voxelizes them; here the canonical car is sampled directly at
+    voxel-scale density, utils/cad_car.py) or accumulated dynamic-object
+    LiDAR merge (dynamic_object_points_canonical.npz -> object_to_world of
+    the sampled frame, :488-511),
+  * 3D boxes from static+dynamic object info with healthy-box filtering
+    (finite pose, positive extent, center within the crop — replacing the
+    reference's box3d_overlap self-test, :403-411),
+  * per-view images/poses/intrinsics with side-view height padding, depth
+    images (<depth_attr>/100, :203-230), and the 4-channel GSM mask: ch0
+    fg-from-seg (skymask==0), ch1 non-dynamic, ch2 non-hood/padding, ch3
+    fg-from-grid placeholder filled by the model (:612-634).
 
-On-disk layout mirrors the reference's converter output
-(data_process/waymo2webdataset.py): ``<root>/<attr>/<clip_id>.tar`` with
-members ``{frame:06d}.<ext>``. Voxelization stays deferred to first device
-touch (grid built in the train step from INPUT_PC), matching
-base_model.generate_fvdb_grid_on_the_fly."""
+On-disk layout mirrors the converter output (data_process/waymo2shards.py):
+``<root>/<attr>/<clip_id>.tar`` with members ``{frame:06d}.<ext>`` (or
+``{frame:06d}.{view}.<ext>`` for multi-view attrs). Voxelization stays
+deferred to first device touch (grid built in the train step from INPUT_PC),
+matching base_model.generate_fvdb_grid_on_the_fly."""
 
 from __future__ import annotations
 
@@ -33,6 +43,7 @@ from infinicube_tpu.camera.conventions import opencv_to_flu
 from infinicube_tpu.data.codec import decode_member
 from infinicube_tpu.data.specs import DatasetSpec
 from infinicube_tpu.data.tario import TarReader
+from infinicube_tpu.utils.semantic import CAR_LIKE_IDS, WAYMO_CATEGORY_NAMES
 
 
 @dataclasses.dataclass
@@ -40,7 +51,8 @@ class WaymoDatasetConfig:
     root: str = "data/waymo"
     scene_list_file: str | None = None
     attr_subfolders: tuple = ("pose", "intrinsic", "pc", "static_object_info",
-                              "dynamic_object_info", "map")
+                              "dynamic_object_info", "map",
+                              "dynamic_object_points_canonical")
     input_frames: tuple = (0,)
     sup_frames: tuple = (0,)
     frame_start: int = 0
@@ -51,7 +63,25 @@ class WaymoDatasetConfig:
     crop_augment: bool = False
     crop_augment_range: tuple = (3.2, 3.2, 0.8)
     map_types: tuple = ("road_edge", "road_line", "road_surface")
+    views: tuple = ()                  # e.g. ("front", "front_left", ...);
+    # empty = single-camera members ({frame:06d}.<ext>)
+    depth_attr: str = "lidar_depth"    # or "depth_buffer_100"
+    replace_all_car_with_cad: bool = False
+    cad_points_per_meter3: float = 60.0
+    merge_dynamic_points: bool = True
     seed: int = 0
+
+
+def healthy_boxes(poses: np.ndarray, lwhs: np.ndarray,
+                  half_range: np.ndarray, margin: float = 2.0) -> np.ndarray:
+    """bool[N]: finite pose, positive extent, center inside crop + margin
+    (the reference drops boxes its box3d_overlap self-test rejects,
+    waymo_wds.py:403-411 — degenerate extents / non-finite corners)."""
+    ok = np.isfinite(poses).all(axis=(1, 2)) & np.isfinite(lwhs).all(axis=1)
+    ok &= (lwhs > 1e-3).all(axis=1) & (lwhs < 40.0).all(axis=1)
+    centers = poses[:, :3, 3]
+    ok &= np.all(np.abs(centers) <= half_range + margin, axis=1)
+    return ok
 
 
 class WaymoClipDataset:
@@ -76,7 +106,8 @@ class WaymoClipDataset:
         for scene in self.scenes:
             readers = {}
             try:
-                for attr in cfg.attr_subfolders:
+                for attr in set(cfg.attr_subfolders) | {"image", "skymask",
+                                                        cfg.depth_attr}:
                     p = Path(cfg.root) / attr / f"{scene}.tar"
                     if p.exists():
                         readers[attr] = TarReader(p)
@@ -95,13 +126,27 @@ class WaymoClipDataset:
 
     # ------------------------------------------------------------------ I/O
     @staticmethod
-    def _read_frame(reader: TarReader, frame: int, exts=("npy", "npz", "json",
-                                                         "png", "jpg")):
+    def _read_frame(reader: TarReader, frame: int, view: str | None = None,
+                    exts=("npy", "npz", "json", "png", "jpg")):
         for ext in exts:
-            name = f"{frame:06d}.{ext}"
-            if name in reader:
-                return decode_member(ext, reader.read(name))
+            names = ([f"{frame:06d}.{view}.{ext}"] if view else []) + \
+                [f"{frame:06d}.{ext}"]
+            for name in names:
+                if name in reader:
+                    return decode_member(ext, reader.read(name))
         return None
+
+    def _object_info(self, readers: dict, frame: int) -> dict:
+        """static + dynamic object info merged (dynamic first, reference's
+        all_object_dict, waymo_wds.py:391-395)."""
+        out = {}
+        for attr in ("dynamic_object_info", "static_object_info"):
+            if attr in readers:
+                info = self._read_frame(readers[attr], frame)
+                if isinstance(info, dict):
+                    for gid, obj in info.items():
+                        out.setdefault(gid, dict(obj, dynamic="dynamic" in attr))
+        return out
 
     # ------------------------------------------------------------ transform
     def _build_sample(self, scene: str, readers: dict, start: int):
@@ -109,12 +154,27 @@ class WaymoClipDataset:
         frames = [start + f for f in cfg.input_frames]
         if "pose" not in readers or "pc" not in readers:
             return None
-        pose_cv = self._read_frame(readers["pose"], frames[0])
+        front = cfg.views[0] if cfg.views else None
+        pose_cv = self._read_frame(readers["pose"], frames[0], front)
         if pose_cv is None:
             return None
         pose_cv = np.asarray(pose_cv, np.float64).reshape(4, 4)
         cam_flu = opencv_to_flu(pose_cv)          # first-camera FLU -> world
-        world_to_crop = np.linalg.inv(cam_flu)
+
+        # crop frame: camera FLU axes, translation moved to the crop CENTER
+        # (reference crop_pcd_and_generate_grid_raw:434-455) so grid coords
+        # are symmetric about the origin
+        lo = np.asarray(cfg.crop_bbox_min, np.float64)
+        hi = np.asarray(cfg.crop_bbox_max, np.float64)
+        center_offset = (lo + hi) / 2
+        if cfg.crop_augment:
+            center_offset = center_offset + self.rng.uniform(-1, 1, 3) * \
+                np.asarray(cfg.crop_augment_range)
+        grid_to_world = cam_flu.copy()
+        grid_to_world[:3, 3] = cam_flu[:3, 3] + \
+            cam_flu[:3, :3] @ center_offset
+        world_to_crop = np.linalg.inv(grid_to_world)
+        half = ((hi - lo) / 2).astype(np.float64)
 
         pc = self._read_frame(readers["pc"], frames[0])
         if pc is None:
@@ -128,20 +188,64 @@ class WaymoClipDataset:
             sem = np.zeros(len(xyz), np.int32)
         xyz_crop = xyz @ world_to_crop[:3, :3].T + world_to_crop[:3, 3]
 
-        lo = np.asarray(cfg.crop_bbox_min, np.float64)
-        hi = np.asarray(cfg.crop_bbox_max, np.float64)
-        if cfg.crop_augment:
-            jit = self.rng.uniform(-1, 1, 3) * np.asarray(cfg.crop_augment_range)
-            lo, hi = lo + jit, hi + jit
-        keep = np.all((xyz_crop >= lo) & (xyz_crop <= hi), axis=-1)
+        objects = self._object_info(readers, frames[0])
+
+        if cfg.replace_all_car_with_cad:
+            # drop all vehicle-class points, stamp the procedural CAD car at
+            # every (healthy) vehicle box (reference :473-487 removes
+            # CAR/TRUCK/BUS/OTHER_VEHICLE points and instances CAD meshes)
+            from infinicube_tpu.utils.cad_car import canonical_car_points
+            keep_sem = ~np.isin(sem, np.asarray(CAR_LIKE_IDS))
+            xyz_crop, sem = xyz_crop[keep_sem], sem[keep_sem]
+            car_id = WAYMO_CATEGORY_NAMES.index("CAR")
+            base = canonical_car_points()
+            extra, extra_sem = [], []
+            for gid, obj in objects.items():
+                o2c = world_to_crop @ np.asarray(obj["object_to_world"],
+                                                 np.float64)
+                lwh = np.asarray(obj["object_lwh"], np.float64)
+                if not healthy_boxes(o2c[None], lwh[None], half)[0]:
+                    continue
+                pts = base * lwh
+                pts = pts @ o2c[:3, :3].T + o2c[:3, 3]
+                extra.append(pts.astype(np.float32))
+                extra_sem.append(np.full(len(pts), car_id, np.int32))
+            if extra:
+                xyz_crop = np.concatenate([xyz_crop, *extra], axis=0)
+                sem = np.concatenate([sem, *extra_sem], axis=0)
+        elif cfg.merge_dynamic_points and \
+                "dynamic_object_points_canonical" in readers:
+            # accumulated dynamic-object LiDAR, posed at this frame's boxes
+            # (reference :488-511; static accumulation already lives in pc)
+            dr = readers["dynamic_object_points_canonical"]
+            canon = decode_member("npz", dr.read("points.npz")) \
+                if "points.npz" in dr else {}
+            extra, extra_sem = [], []
+            for gid, obj in objects.items():
+                if not obj.get("dynamic") or f"{gid}_xyz" not in canon:
+                    continue
+                o2c = world_to_crop @ np.asarray(obj["object_to_world"],
+                                                 np.float64)
+                pts = np.asarray(canon[f"{gid}_xyz"], np.float64)
+                pts = pts @ o2c[:3, :3].T + o2c[:3, 3]
+                extra.append(pts.astype(np.float32))
+                extra_sem.append(np.full(
+                    len(pts), int(canon.get(f"{gid}_semantic", 0)), np.int32))
+            if extra:
+                xyz_crop = np.concatenate([xyz_crop, *extra], axis=0)
+                sem = np.concatenate([sem, *extra_sem], axis=0)
+
+        keep = np.all(np.abs(xyz_crop) <= half, axis=-1)
 
         sample = {
             DatasetSpec.SHAPE_NAME: scene,
             DatasetSpec.INPUT_PC: xyz_crop[keep].astype(np.float32),
             DatasetSpec.GT_SEMANTIC: sem[keep],
-            DatasetSpec.GRID_CROP_RANGE: np.stack([lo, hi]).astype(np.float32),
-            DatasetSpec.GRID_TO_FIRST_CAMERA_FLU: np.eye(4, dtype=np.float32),
-            DatasetSpec.GRID_TO_WORLD: cam_flu.astype(np.float32),
+            DatasetSpec.GRID_CROP_RANGE: np.stack(
+                [-half, half]).astype(np.float32),
+            DatasetSpec.GRID_TO_FIRST_CAMERA_FLU: (
+                np.linalg.inv(cam_flu) @ grid_to_world).astype(np.float32),
+            DatasetSpec.GRID_TO_WORLD: grid_to_world.astype(np.float32),
         }
 
         if "map" in readers:
@@ -157,49 +261,77 @@ class WaymoClipDataset:
                         maps[t] = np.zeros((0, 3), np.float32)
                 sample[DatasetSpec.MAPS_3D] = maps
 
-        for attr, spec in (("static_object_info", DatasetSpec.BOXES_3D),):
-            if attr in readers:
-                info = self._read_frame(readers[attr], frames[0])
-                if isinstance(info, dict):
-                    poses, lwhs = [], []
-                    for _, obj in info.items():
-                        o2w = np.asarray(obj["object_to_world"], np.float64)
-                        poses.append(world_to_crop @ o2w)
-                        lwhs.append(obj["object_lwh"])
-                    if poses:
-                        sample[spec] = {
-                            "poses": np.asarray(poses, np.float32),
-                            "lwhs": np.asarray(lwhs, np.float32)}
+        if objects:
+            poses = np.asarray(
+                [world_to_crop @ np.asarray(o["object_to_world"], np.float64)
+                 for o in objects.values()], np.float32)
+            lwhs = np.asarray([o["object_lwh"] for o in objects.values()],
+                              np.float32)
+            ok = healthy_boxes(poses, lwhs, half)
+            if ok.any():
+                sample[DatasetSpec.BOXES_3D] = {
+                    "poses": poses[ok], "lwhs": lwhs[ok]}
 
         if "image" in readers:
-            imgs, poses_i, Ks = [], [], []
+            views = list(cfg.views) if cfg.views else [None]
+            imgs, poses_i, Ks, masks, depths = [], [], [], [], []
+            pad_h = None
             for f in frames:
-                img = self._read_frame(readers["image"], f)
-                pc_pose = self._read_frame(readers["pose"], f)
-                K = self._read_frame(readers["intrinsic"], f) \
-                    if "intrinsic" in readers else None
-                if img is None or pc_pose is None:
-                    return None
-                imgs.append(np.asarray(img, np.float32) / 255.0)
-                # camera pose relative to the crop frame, OpenCV camera
-                poses_i.append(world_to_crop @
-                               np.asarray(pc_pose, np.float64).reshape(4, 4))
-                Ks.append(np.asarray(K, np.float32).reshape(3, 3)
-                          if K is not None else np.eye(3, dtype=np.float32))
+                for vi, view in enumerate(views):
+                    img = self._read_frame(readers["image"], f, view)
+                    pc_pose = self._read_frame(readers["pose"], f, view)
+                    K = self._read_frame(readers["intrinsic"], f, view) \
+                        if "intrinsic" in readers else None
+                    if img is None or pc_pose is None:
+                        return None
+                    img = np.asarray(img, np.float32) / 255.0
+                    if pad_h is None:
+                        pad_h = img.shape[0]     # front-view height
+                    h, w = img.shape[:2]
+                    mask = np.ones((pad_h, w, 4), np.float32)
+                    if h < pad_h:                # side view: pad + mask ch2
+                        img = np.concatenate(
+                            [img, np.zeros((pad_h - h, w, img.shape[2]),
+                                           np.float32)], axis=0)
+                        mask[h:, :, 2] = 0.0
+                    sm = self._read_frame(readers["skymask"], f, view) \
+                        if "skymask" in readers else None
+                    if sm is not None:
+                        mask[:h, :, 0] = (np.asarray(sm)[:h] == 0)
+                    dp = self._read_frame(readers[cfg.depth_attr], f, view) \
+                        if cfg.depth_attr in readers else None
+                    if dp is not None:
+                        d = np.asarray(dp, np.float32) / 100.0
+                        if d.shape[0] < pad_h:
+                            d = np.concatenate(
+                                [d, np.zeros((pad_h - d.shape[0], w),
+                                             np.float32)], axis=0)
+                        depths.append(d[..., None])
+                    imgs.append(img)
+                    poses_i.append(world_to_crop @
+                                   np.asarray(pc_pose, np.float64).reshape(4, 4))
+                    kk = np.eye(3, dtype=np.float32)
+                    if K is not None:
+                        K = np.asarray(K, np.float32)
+                        if K.ndim == 2 and K.shape == (3, 3):
+                            kk = K            # converter layout: 3x3 matrix
+                        elif K.size >= 6:     # fx fy cx cy w h (reference)
+                            K = K.ravel()
+                            kk = np.array([[K[0], 0, K[2]],
+                                           [0, K[1], K[3]],
+                                           [0, 0, 1]], np.float32)
+                            # rescale to the stored image resolution
+                            kk[0] *= w / K[4]
+                            kk[1] *= h / K[5]
+                    Ks.append(kk)
+                    masks.append(mask)
             sample[DatasetSpec.IMAGES_INPUT] = np.stack(imgs)
             sample[DatasetSpec.IMAGES_INPUT_POSE] = np.stack(poses_i).astype(
                 np.float32)
             sample[DatasetSpec.IMAGES_INPUT_INTRINSIC] = np.stack(Ks)
-            # 4-channel GSM mask default: all-valid; skymask tar refines ch0
-            h, w = imgs[0].shape[:2]
-            mask = np.ones((len(imgs), h, w, 4), np.float32)
-            if "skymask" in readers:
-                for i, f in enumerate(frames):
-                    sm = self._read_frame(readers["skymask"], f)
-                    if sm is not None:
-                        mask[i, ..., 0] = (np.asarray(sm) == 0).astype(
-                            np.float32)
-            sample[DatasetSpec.IMAGES_INPUT_MASK] = mask
+            sample[DatasetSpec.IMAGES_INPUT_MASK] = np.stack(masks)
+            if depths and len(depths) == len(imgs):
+                sample[DatasetSpec.IMAGES_INPUT_DEPTH] = np.stack(depths)
         return sample
 
 

@@ -334,7 +334,44 @@ def convert_clip(source: FrameSource, clip_id: str, output_root: Path,
         else:
             id_map[g], s_next = s_next, s_next + 1
 
+    # accumulate per-dynamic-object points in the object's canonical (box)
+    # frame across the whole clip (the reference's
+    # dynamic_object_points_canonical.npz, consumed by WaymoWdsDataset's
+    # accumulated-LiDAR dynamic merge, waymo_wds.py:488-511)
+    dyn_pts: dict[str, list] = {g: [] for g in dynamic_gids}
+    dyn_sem: dict[str, list] = {g: [] for g in dynamic_gids}
+    for fr in frames:
+        for gid in dynamic_gids:
+            obj = fr.objects.get(gid)
+            if obj is None or len(fr.points) == 0:
+                continue
+            w2o = np.linalg.inv(np.asarray(obj["pose"], np.float64))
+            local = fr.points @ w2o[:3, :3].T + w2o[:3, 3]
+            half = np.asarray(obj["lwh"], np.float64) / 2 + 0.05
+            inside = np.all(np.abs(local) <= half, axis=-1)
+            if inside.any():
+                dyn_pts[gid].append(local[inside].astype(np.float32))
+                dyn_sem[gid].append(fr.point_semantics[inside])
+
     try:
+        canon = {}
+        for gid in dynamic_gids:
+            if not dyn_pts[gid]:
+                continue
+            xyz = np.concatenate(dyn_pts[gid], axis=0)
+            if len(xyz) > 20000:            # bound per-object accumulation
+                xyz = xyz[np.random.default_rng(0).choice(
+                    len(xyz), 20000, replace=False)]
+            sem = np.concatenate(dyn_sem[gid])
+            vals, counts = np.unique(sem, return_counts=True)
+            # keyed by the raw gid so the dataset can join against the
+            # dynamic_object_info.json entries of any frame
+            canon[f"{gid}_xyz"] = xyz
+            canon[f"{gid}_semantic"] = np.int32(vals[counts.argmax()])
+        if canon:
+            w("dynamic_object_points_canonical").add(
+                "points.npz", encode_member("npz", canon))
+
         for fr in frames:
             key = f"{fr.index:06d}"
             w("pose").add(f"{key}.npy", encode_member(

@@ -21,6 +21,7 @@ import dataclasses
 from functools import partial
 from typing import Any
 
+import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
@@ -50,11 +51,21 @@ class DiffusionConfig:
     transformer_depth: int = 12
     dtype: Any = jnp.bfloat16
     remat: bool = False
-    # conditioning
+    # conditioning (release: concat_scube_general pos+map+box; the alt
+    # modes mirror _forward_cond, reference diffusion.py:501-914)
     num_map_types: int = 3
     use_map_cond: bool = True
     use_box_cond: bool = True
     use_pos_embed: bool = True
+    use_semantic_cond: bool = False     # dense semantic cube -> embedding
+    num_semantic: int = 23
+    semantic_embed_dim: int = 8
+    use_single_scan_cond: bool = False  # one lidar scan -> PointNet splat
+    single_scan_dim: int = 8
+    use_image_cond: str | None = None   # "lift3d" | "lss"
+    image_cond_dim: int = 8
+    num_classes: int = 0                # >0: adm one-hot class conditioning
+    context_dim: int | None = None      # crossattn context (e.g. text)
     classifier_free_prob: float = 0.1
     # diffusion
     num_train_timesteps: int = 1000
@@ -64,8 +75,19 @@ class DiffusionConfig:
     ema_decay: float = 0.9999
 
     @property
-    def cond_channels(self) -> int:
+    def extra_cond_channels(self) -> int:
         c = 0
+        if self.use_semantic_cond:
+            c += self.semantic_embed_dim
+        if self.use_single_scan_cond:
+            c += self.single_scan_dim
+        if self.use_image_cond:
+            c += self.image_cond_dim
+        return c
+
+    @property
+    def cond_channels(self) -> int:
+        c = self.extra_cond_channels
         if self.use_pos_embed:
             c += 3
         if self.use_map_cond:
@@ -78,15 +100,83 @@ class DiffusionConfig:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class CondCubes:
-    """Dense conditioning cubes, already encoded (zeros = null condition)."""
-    map_cube: jnp.ndarray   # f32[B, D, H, W, n_types]
-    box_cube: jnp.ndarray   # f32[B, D, H, W, 2]
+    """Encoded conditioning (zeros = null condition). ``extra_cube`` carries
+    the alt concat modes (semantic / single-scan / image); ``class_oh`` the
+    adm one-hot; ``context`` crossattn tokens."""
+    map_cube: jnp.ndarray                 # f32[B, D, H, W, n_types]
+    box_cube: jnp.ndarray                 # f32[B, D, H, W, 2]
+    extra_cube: jnp.ndarray | None = None   # f32[B, D, H, W, E]
+    class_oh: jnp.ndarray | None = None     # f32[B, num_classes]
+    context: jnp.ndarray | None = None      # f32[B, L, context_dim]
 
     @staticmethod
-    def null(batch: int, cfg: DiffusionConfig) -> "CondCubes":
+    def null(batch: int, cfg: DiffusionConfig,
+             context_len: int = 1) -> "CondCubes":
         D, H, W = cfg.cube_dims
-        return CondCubes(jnp.zeros((batch, D, H, W, cfg.num_map_types)),
-                         jnp.zeros((batch, D, H, W, 2)))
+        ec = cfg.extra_cond_channels
+        return CondCubes(
+            jnp.zeros((batch, D, H, W, cfg.num_map_types)),
+            jnp.zeros((batch, D, H, W, 2)),
+            extra_cube=jnp.zeros((batch, D, H, W, ec)) if ec else None,
+            class_oh=jnp.zeros((batch, cfg.num_classes))
+            if cfg.num_classes else None,
+            context=jnp.zeros((batch, context_len, cfg.context_dim))
+            if cfg.context_dim else None)
+
+
+class CondEncoders(nn.Module):
+    """Parameter-bearing alt-condition encoders -> one dense extra cube
+    (reference _forward_cond's semantic / single-scan / image-w-depth / LSS
+    assemblies, diffusion.py:501-914). Applied ONCE per sample/loss call;
+    the resulting cube rides the concat path every denoise step."""
+    cfg: DiffusionConfig
+
+    def _cube_centers(self):
+        cfg = self.cfg
+        D, H, W = cfg.cube_dims
+        ijk = jnp.stack(jnp.meshgrid(jnp.arange(D), jnp.arange(H),
+                                     jnp.arange(W), indexing="ij"),
+                        -1) + jnp.asarray(cfg.cube_ijk_min)
+        return ijk * jnp.asarray(cfg.latent_voxel_size) + \
+            jnp.asarray(cfg.latent_origin)
+
+    @nn.compact
+    def __call__(self, semantics=None, scan_points=None, scan_mask=None,
+                 images=None, Ks=None, cam_to_worlds=None):
+        from infinicube_tpu.models.diffusion import alt_encoders as alt
+        cfg = self.cfg
+        D, H, W = cfg.cube_dims
+        parts = []
+        if cfg.use_semantic_cond:
+            parts.append(alt.SemanticEncoder(
+                cfg.num_semantic, cfg.semantic_embed_dim,
+                name="semantic")(semantics))
+        if cfg.use_single_scan_cond:
+            g = alt.PointNetEncoder(out_dim=cfg.single_scan_dim,
+                                    name="single_scan")(scan_points,
+                                                        scan_mask)
+            parts.append(jnp.broadcast_to(
+                g[:, None, None, None, :],
+                g.shape[:1] + (D, H, W, cfg.single_scan_dim)))
+        if cfg.use_image_cond == "lift3d":
+            enc = alt.Lift3DEncoder(cfg.image_cond_dim, name="lift3d")
+            centers = self._cube_centers()
+            parts.append(nn.vmap(
+                lambda m, im, K, p: m(im, K, p, centers),
+                variable_axes={"params": None}, split_rngs={"params": False},
+                in_axes=(0, 0, 0))(enc, images, Ks, cam_to_worlds))
+        elif cfg.use_image_cond == "lss":
+            enc = alt.LssEncoder(alt.LssConfig(feat_dim=cfg.image_cond_dim),
+                                 name="lss")
+            out = nn.vmap(
+                lambda m, im, K, p: m(im, K, p, cfg.cube_dims,
+                                      cfg.cube_ijk_min,
+                                      cfg.latent_voxel_size,
+                                      cfg.latent_origin),
+                variable_axes={"params": None}, split_rngs={"params": False},
+                in_axes=(0, 0, 0))(enc, images, Ks, cam_to_worlds)
+            parts.append(out[0])
+        return jnp.concatenate(parts, axis=-1) if parts else None
 
 
 class VoxelDiffusion:
@@ -100,7 +190,9 @@ class VoxelDiffusion:
             attention_ds=cfg.attention_ds,
             num_heads=cfg.num_heads,
             transformer_depth=cfg.transformer_depth,
+            context_dim=cfg.context_dim,
             dtype=cfg.dtype, remat=cfg.remat)
+        self.cond_enc = CondEncoders(cfg) if cfg.extra_cond_channels else None
         self.schedule = NoiseSchedule.linear(
             cfg.num_train_timesteps, cfg.beta_start, cfg.beta_end)
 
@@ -110,7 +202,40 @@ class VoxelDiffusion:
         D, H, W = cfg.cube_dims
         x = jnp.zeros((1, D, H, W, cfg.latent_channels + cfg.cond_channels))
         t = jnp.zeros((1,), jnp.int32)
-        return self.unet.init(rng, x, t)
+        kw = {}
+        if cfg.context_dim:
+            kw["context"] = jnp.zeros((1, 1, cfg.context_dim))
+        if cfg.num_classes:
+            kw["y_emb"] = jnp.zeros((1, cfg.num_classes))
+        up = self.unet.init(rng, x, t, **kw)
+        if self.cond_enc is None:
+            return up
+        # param-bearing alt encoders live beside the unet in one tree
+        ck = {}
+        if cfg.use_semantic_cond:
+            ck["semantics"] = jnp.zeros((1, D, H, W), jnp.int32)
+        if cfg.use_single_scan_cond:
+            ck["scan_points"] = jnp.zeros((1, 8, 3))
+            ck["scan_mask"] = jnp.ones((1, 8), bool)
+        if cfg.use_image_cond:
+            ck["images"] = jnp.zeros((1, 1, 32, 32, 3))
+            ck["Ks"] = jnp.tile(jnp.eye(3) * 16.0, (1, 1, 1, 1))
+            ck["cam_to_worlds"] = jnp.tile(jnp.eye(4), (1, 1, 1, 1))
+        cp = self.cond_enc.init(jax.random.fold_in(rng, 1), **ck)
+        return {"params": {"unet": up["params"], "cond_enc": cp["params"]}}
+
+    def _unet_params(self, params):
+        if self.cond_enc is None:
+            return params
+        return {"params": params["params"]["unet"]}
+
+    def encode_extra(self, params, **raw) -> jnp.ndarray | None:
+        """Encode the raw alt-condition inputs into the dense extra cube
+        (call once; reuse across all denoise steps)."""
+        if self.cond_enc is None:
+            return None
+        return self.cond_enc.apply(
+            {"params": params["params"]["cond_enc"]}, **raw)
 
     # ---- conditioning assembly -------------------------------------------
     def encode_conditions(self, map_points, map_mask, box_poses, box_lwhs,
@@ -137,10 +262,20 @@ class VoxelDiffusion:
             parts.append(cond.map_cube)
         if cfg.use_box_cond:
             parts.append(cond.box_cube)
+        if cfg.extra_cond_channels:
+            ec = cond.extra_cube if cond.extra_cube is not None else \
+                jnp.zeros(x.shape[:4] + (cfg.extra_cond_channels,))
+            parts.append(ec)
         return jnp.concatenate(parts, axis=-1)
 
     def denoise(self, params, x, t, cond: CondCubes):
-        return self.unet.apply(params, self._assemble(x, cond), t)
+        kw = {}
+        if self.cfg.context_dim and cond.context is not None:
+            kw["context"] = cond.context
+        if self.cfg.num_classes and cond.class_oh is not None:
+            kw["y_emb"] = cond.class_oh
+        return self.unet.apply(self._unet_params(params),
+                               self._assemble(x, cond), t, **kw)
 
     # ---- training ---------------------------------------------------------
     def train_loss(self, params, rng: jax.Array, latents: jnp.ndarray,
@@ -163,11 +298,19 @@ class VoxelDiffusion:
         x_t = self.schedule.add_noise(latents, noise, t)
         target = self.schedule.v_target(latents, noise, t) \
             if cfg.prediction_type == "v_prediction" else noise
+        def drop(v, key):
+            return None if v is None else encoders.classifier_free_drop(
+                v, key, cfg.classifier_free_prob)
+
+        r_e, r_c, r_x = jax.random.split(jax.random.fold_in(r_m, 1), 3)
         cond = CondCubes(
             map_cube=encoders.classifier_free_drop(
                 cond.map_cube, r_m, cfg.classifier_free_prob),
             box_cube=encoders.classifier_free_drop(
-                cond.box_cube, r_b, cfg.classifier_free_prob))
+                cond.box_cube, r_b, cfg.classifier_free_prob),
+            extra_cube=drop(cond.extra_cube, r_e),
+            class_oh=drop(cond.class_oh, r_c),
+            context=drop(cond.context, r_x))
         pred = self.denoise(params, x_t, t, cond)
         loss = jnp.mean((pred - target) ** 2)
         return loss, {"mse": loss}
@@ -191,10 +334,19 @@ class VoxelDiffusion:
 
         use_cfg = guidance_scale != 1.0
         if use_cfg:
-            null = CondCubes.null(B, cfg)
+            null = CondCubes.null(
+                B, cfg, context_len=cond.context.shape[1]
+                if cond.context is not None else 1)
+
+            def cat(a, b):
+                return None if a is None else jnp.concatenate([a, b])
+
             cond2 = CondCubes(
                 map_cube=jnp.concatenate([cond.map_cube, null.map_cube]),
-                box_cube=jnp.concatenate([cond.box_cube, null.box_cube]))
+                box_cube=jnp.concatenate([cond.box_cube, null.box_cube]),
+                extra_cube=cat(cond.extra_cube, null.extra_cube),
+                class_oh=cat(cond.class_oh, null.class_oh),
+                context=cat(cond.context, null.context))
 
             def model_fn(x, t):
                 out = self.denoise(params, jnp.concatenate([x, x]),

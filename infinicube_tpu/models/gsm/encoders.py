@@ -9,9 +9,10 @@ semantics (unified_encoder.py:61-126):
   ch3: foreground from voxel grid
 sky_mask = ch0 == 0; effective_mask = ch1 * ch2.
 
-The DAv2/DINO towers are weight-loaded ViTs in the reference; here a generic
-patch ViT stands in (weights convertible later) and the release-critical conv
-path is exact."""
+Encoder kinds: "conv" (exact mirror of conv_encoder.py), "dav2" (frozen
+checkpoint-shaped Depth-Anything-V2 tower + trainable refiner — see
+models/gsm/dav2.py and weights convert_dav2_hf), and "vit" (a generic patch
+ViT retained as a lightweight stand-in for configs without DAv2 weights)."""
 
 from __future__ import annotations
 
@@ -75,11 +76,42 @@ class PatchViTEncoder(nn.Module):
         return jax.image.resize(x, (B, H, W, self.width), "bilinear")
 
 
+class DAV2FeatureEncoder(nn.Module):
+    """Frozen checkpoint-shaped Depth-Anything-V2 tower + trainable
+    upsampler (reference DAV2Encoder, dav2_encoder.py:36-121): resize to the
+    target grid, imagenet-normalize, take the LAST DPT fusion map
+    (stop-gradient — the tower is frozen), then a small trainable conv
+    refiner, resized back to pixel resolution."""
+    width: int = 64
+    target_hw: tuple = (252, 336)       # multiple of 14
+    dav2: Any = None                    # DAv2Config (None -> vits)
+
+    @nn.compact
+    def __call__(self, images):  # [B, H, W, 3] in [0, 1]
+        import jax
+        from infinicube_tpu.models.gsm.dav2 import (
+            IMAGENET_MEAN, IMAGENET_STD, DAv2Config, DepthAnythingFeatures)
+        cfg = self.dav2 or DAv2Config.vits()
+        B, H, W, _ = images.shape
+        th, tw = self.target_hw
+        x = jax.image.resize(images, (B, th, tw, 3), "bilinear")
+        x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+        fused = DepthAnythingFeatures(cfg, name="features")(x)[-1]
+        fused = jax.lax.stop_gradient(fused)     # frozen tower
+        h = nn.Conv(self.width, (3, 3), name="up0")(fused)
+        r = nn.relu(nn.Conv(self.width, (3, 3), name="up1")(nn.relu(h)))
+        h = h + nn.Conv(self.width, (3, 3), name="up2")(r)
+        return jax.image.resize(h, (B, H, W, self.width), "bilinear")
+
+
 @dataclasses.dataclass(frozen=True)
 class UnifiedEncoderConfig:
-    encoders: Sequence[str] = ("conv",)     # + "vit" for the dav2 stand-in
+    encoders: Sequence[str] = ("conv",)     # + "dav2" (frozen DAv2) / "vit"
     conv_width: int = 64
     vit_width: int = 128
+    dav2_width: int = 64
+    dav2_target_hw: tuple = (252, 336)
+    dav2_config: Any = None                 # DAv2Config override (tests)
 
 
 class UnifiedEncoder(nn.Module):
@@ -97,6 +129,10 @@ class UnifiedEncoder(nn.Module):
             feats.append(ConvEncoder(self.cfg.conv_width, name="conv")(flat))
         if "vit" in self.cfg.encoders:
             feats.append(PatchViTEncoder(self.cfg.vit_width, name="vit")(flat))
+        if "dav2" in self.cfg.encoders:
+            feats.append(DAV2FeatureEncoder(
+                self.cfg.dav2_width, self.cfg.dav2_target_hw,
+                self.cfg.dav2_config, name="dav2")(flat))
         f = jnp.concatenate(feats, axis=-1).reshape(B, V, H, W, -1)
         sky_mask = masks[..., 0] == 0
         effective = masks[..., 1] * masks[..., 2]

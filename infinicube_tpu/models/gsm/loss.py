@@ -3,9 +3,10 @@ perceptual term, PSNR metrics, gaussian statistics.
 
 Mirror of the reference's UnifiedLoss + ssim_w_mask + depth_losses
 (/root/reference/infinicube/voxelgen/modules/gsm_modules/loss/
-unified_loss.py:30-233). The reference's LPIPS (pretrained VGG) has no
-offline weights here; the perceptual term is a multi-scale gradient/Laplacian
-proxy, and a converted-LPIPS hook can replace it (weights/)."""
+unified_loss.py:30-233). The perceptual term uses the checkpoint-shaped
+LPIPS-VGG16 (models/gsm/lpips.py, converted via convert_lpips) when
+``lpips_params`` are supplied, falling back to a multi-scale
+gradient-magnitude proxy otherwise."""
 
 from __future__ import annotations
 
@@ -84,7 +85,8 @@ def psnr(a, b, mask=None):
 def gsm_loss(cfg: GSMLossConfig, render: dict, gt_rgb: jnp.ndarray,
              gt_mask: jnp.ndarray, sky_mask: jnp.ndarray,
              gt_depth: jnp.ndarray | None = None,
-             gaussians: dict | None = None):
+             gaussians: dict | None = None,
+             lpips_params: dict | None = None):
     """render: dict from renderer (rgb/alpha/depth [V,...]); gt_mask
     bool[V,H,W] = effective supervision mask; sky_mask bool[V,H,W]."""
     m = gt_mask.astype(jnp.float32)
@@ -100,7 +102,13 @@ def gsm_loss(cfg: GSMLossConfig, render: dict, gt_rgb: jnp.ndarray,
     metrics = {"rgb_l1": rgb_l1, "ssim": s, "alpha_l1": alpha_l1,
                "psnr": psnr(render["rgb"], gt_rgb, gt_mask)}
     if cfg.perceptual_weight > 0:
-        p = perceptual_proxy(render["rgb"], gt_rgb)
+        if lpips_params is not None:
+            from infinicube_tpu.models.gsm.lpips import LPIPS
+            p = jnp.mean(LPIPS().apply(
+                lpips_params, LPIPS.from_unit_range(render["rgb"]),
+                LPIPS.from_unit_range(gt_rgb)))
+        else:
+            p = perceptual_proxy(render["rgb"], gt_rgb)
         total = total + cfg.perceptual_weight * p
         metrics["perceptual"] = p
     if gt_depth is not None and cfg.depth_weight > 0:

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from infinicube_tpu.grid.grid import Grid
+from infinicube_tpu.grid.build import subdivided_grid
 from infinicube_tpu.grid.ops import max_pool, neighbor_indexes, upsample_nearest
 from infinicube_tpu.nn.sparse import SparseResBlock, conv_plan
 from infinicube_tpu.models.gsm.lifter import sample_image_features
@@ -34,6 +35,8 @@ class VoxelBranchConfig:
     gaussians_per_voxel: int = 4       # release gsplat_upsample=4
     gs_free_space: float = 1.5         # offset bound in voxel units
     max_scaling: float = 12.0          # scale clamp (x voxel size)
+    vis_subdiv: int = 2                # occ_upsample factor (ref :359)
+    vis_subdiv_capacity_mult: int = 4  # subdivided-grid capacity / base
     conv_backend: str = "auto"
     dtype: Any = jnp.float32
 
@@ -102,14 +105,25 @@ class VoxelBranch(nn.Module):
                                name=f"dec{l}")(h, nbr, grids[l].mask)
 
         g0 = grids[0]
-        # hybrid features for visible voxels: sample multi-view 2D features
-        pts = g0.voxel_centers()[0]
+        # visible (occ-front) voxels are SUBDIVIDED x2 before the hybrid
+        # head (reference occ_upsample = UpsamplingNearest(2),
+        # voxel_branch.py:806-848): children inherit parent features, then
+        # each child center samples multi-view 2D features (max-pooled over
+        # visible views) which are CONCATENATED with the 3D features
+        sub = subdivided_grid(g0, cfg.vis_subdiv,
+                              submask=visible & g0.mask,
+                              capacity=g0.capacity *
+                              cfg.vis_subdiv_capacity_mult)
+        _, h_sub = upsample_nearest(g0, h, cfg.vis_subdiv, fine=sub)
+        pts = sub.voxel_centers()[0]
         mv = sample_image_features(pts, image_feats, Ks, cam_to_worlds)[None]
-        mv = nn.Dense(h.shape[-1], name="mv_proj")(mv)
-        h_hybrid = h + jnp.where(visible[..., None], mv, 0.0)
+        mv = jnp.where(sub.mask[..., None], mv, 0.0)
+        h_hybrid = jnp.concatenate([mv, h_sub], axis=-1)
 
         gs_vis = GaussianHead(cfg, "vis", name="head_vis")(
-            h_hybrid, g0, g0.mask & visible)
+            h_hybrid, sub, sub.mask)
+        # occluded voxels stay at base resolution with 3D features only
+        # (reference up_sample0 = UpsamplingNearest(1) + render_head)
         gs_occ = GaussianHead(cfg, "occ", name="head_occ")(
             h, g0, g0.mask & ~visible)
         # merge the two sets (disjoint validity)

@@ -139,6 +139,15 @@ def build_vae(cfg: Config):
         out = model.apply(p, grids, sem, rng)
         return vae_loss(lcfg, out, grids[0], sem)
 
+    ds = _real_dataset(cfg)
+    if ds is not None:
+        # real Waymo clips (reference train.py VAE stage: hash-tree grids +
+        # voxel-majority semantics from the accumulated clip point cloud)
+        from infinicube_tpu.training.data_glue import vae_batches
+        return params, loss_fn, vae_batches(
+            ds, vc, batch_size=B,
+            point_capacity=cfg.get_path("point_capacity", 65536))
+
     def batches():
         while True:
             yield make_batch()
@@ -182,9 +191,17 @@ def build_gsm(cfg: Config):
 
     def loss_fn(p, rng, batch):
         out = model.apply(p, batch)
-        return gsm_loss(lcfg, out["render"], batch["images"],
-                        jnp.ones(batch["images"].shape[:3], bool),
+        valid = batch["masks"][..., 0] * batch["masks"][..., 2] > 0
+        return gsm_loss(lcfg, out["render"], batch["images"], valid,
                         out["sky_mask"], gaussians=out["gaussians"])
+
+    ds = _real_dataset(cfg)
+    if ds is not None:
+        # real Waymo clips (reference GSM stage: per-scene batch with
+        # multi-view images, 4-ch masks, voxel depth prior)
+        from infinicube_tpu.training.data_glue import gsm_batches
+        return params, loss_fn, gsm_batches(
+            ds, gc, voxel_capacity=cfg.get_path("voxel_capacity", 65536))
 
     def batches():
         while True:

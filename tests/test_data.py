@@ -175,3 +175,89 @@ def test_tario_rejects_truncated_and_malformed_members(tmp_path):
         w.add("ok.txt", payload)
     with TarReader(p3) as r:
         assert r.read("ok.txt") == payload
+
+
+def make_clip_full(tmp_path, scene="clipX", frames=3):
+    """Clip with dynamic objects, canonical points, images, skymask, depth."""
+    rng = np.random.default_rng(1)
+    make_clip(tmp_path, scene, frames)
+    car_id = 1  # WAYMO CAR
+    with TarWriter(tmp_path / "dynamic_object_info" / f"{scene}.tar") as w:
+        for f in range(frames):
+            info = {"dyn1": {
+                "object_to_world": [[1, 0, 0, 5.0 + f], [0, 1, 0, 2.0],
+                                    [0, 0, 1, 1.0], [0, 0, 0, 1]],
+                "object_lwh": [4.0, 2.0, 1.5],
+                "object_is_moving": True, "object_id_int": 10000}}
+            w.add(f"{f:06d}.json", encode_member("json", info))
+    with TarWriter(tmp_path / "dynamic_object_points_canonical" /
+                   f"{scene}.tar") as w:
+        pts = rng.uniform(-0.5, 0.5, (200, 3)) * [4.0, 2.0, 1.5]
+        w.add("points.npz", encode_member(
+            "npz", {"dyn1_xyz": pts.astype(np.float32),
+                    "dyn1_semantic": np.int32(car_id)}))
+    for attr, enc in (("image", "png"), ("skymask", "png"),
+                      ("lidar_depth", "png")):
+        with TarWriter(tmp_path / attr / f"{scene}.tar") as w:
+            for f in range(frames):
+                if attr == "image":
+                    img = rng.integers(0, 255, (60, 80, 3)).astype(np.uint8)
+                elif attr == "skymask":
+                    img = np.zeros((60, 80), np.uint8)
+                    img[:10] = 1  # sky band at top
+                else:
+                    img = (rng.uniform(0, 500, (60, 80)) * 100).astype(
+                        np.uint16)
+                w.add(f"{f:06d}.{enc}", encode_member(enc, img))
+
+
+def test_waymo_transform_depth(tmp_path):
+    make_clip_full(tmp_path)
+    cfg = WaymoDatasetConfig(root=str(tmp_path), frame_start=0, frame_end=2,
+                             samples_per_shard=1, seed=3)
+    s = next(iter(WaymoClipDataset(cfg)))
+    # crop frame is RE-CENTERED: crop range symmetric about origin
+    cr = s[DatasetSpec.GRID_CROP_RANGE]
+    np.testing.assert_allclose(cr[0], -cr[1])
+    # grid_to_first_camera_flu carries the center offset (not identity)
+    g2c = s[DatasetSpec.GRID_TO_FIRST_CAMERA_FLU]
+    assert abs(g2c[2, 3] - ((-6.4 + 19.2) / 2)) < 1e-5
+    # dynamic merge added CAR-semantic points near the posed box
+    assert (s[DatasetSpec.GT_SEMANTIC] == 1).sum() > 50
+    # boxes: static + dynamic with healthy filtering
+    assert s[DatasetSpec.BOXES_3D]["poses"].shape[0] == 2
+    # 4-channel mask: ch0 sky zeroed, ch1/2 ones
+    m = s[DatasetSpec.IMAGES_INPUT_MASK]
+    assert m.shape[-1] == 4
+    assert m[0, :10, :, 0].max() == 0.0 and m[0, 20:, :, 0].min() == 1.0
+    assert m[..., 1].min() == 1.0 and m[..., 2].min() == 1.0
+    # depth loaded and scaled /100
+    d = s[DatasetSpec.IMAGES_INPUT_DEPTH]
+    assert d.shape == (1, 60, 80, 1) and 0 <= float(d.max()) <= 660
+
+
+def test_waymo_cad_replacement(tmp_path):
+    make_clip_full(tmp_path, scene="clipC")
+    cfg = WaymoDatasetConfig(root=str(tmp_path), frame_start=0, frame_end=2,
+                             samples_per_shard=1, seed=3,
+                             replace_all_car_with_cad=True)
+    s = next(iter(WaymoClipDataset(cfg)))
+    # CAD stamping: CAR-semantic points present at both object boxes
+    pts = s[DatasetSpec.INPUT_PC]
+    sem = s[DatasetSpec.GT_SEMANTIC]
+    car_pts = pts[sem == 1]
+    assert len(car_pts) > 100
+    # stamped cars sit near the two box centers (crop frame ~ camera FLU
+    # recentered); dyn1 at world x=5+f -> crop coords inside the crop
+    assert np.abs(car_pts).max() < 26.0
+
+
+def test_healthy_box_filter():
+    from infinicube_tpu.data.waymo_dataset import healthy_boxes
+    half = np.array([25.6, 25.6, 12.8])
+    poses = np.stack([np.eye(4)] * 4)
+    poses[1, :3, 3] = [100, 0, 0]          # far outside crop
+    poses[2] = np.nan                       # broken pose
+    lwhs = np.array([[4, 2, 1.5], [4, 2, 1.5], [4, 2, 1.5], [0, 2, 1.5]])
+    ok = healthy_boxes(poses, lwhs, half)
+    np.testing.assert_array_equal(ok, [True, False, False, False])

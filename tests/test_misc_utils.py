@@ -272,3 +272,48 @@ def test_attribute_generator_full_set(tmp_path):
     with TarReader(tmp_path / "voxel_depth_100" / "c0.tar") as r:
         d = decode_member("png", r.read("000000.png"))
     assert d.dtype == np.uint16 and (d > 0).any()
+
+
+def test_convert_clip_canonical_dynamic_points(tmp_path):
+    """convert_clip accumulates per-dynamic-object canonical points across
+    frames and writes dynamic_object_points_canonical/points.npz."""
+    from infinicube_tpu.data.codec import decode_member
+    from infinicube_tpu.data.tario import TarReader
+    from infinicube_tpu.data_process.waymo2shards import (
+        FrameRecord, convert_clip)
+
+    rng = np.random.default_rng(0)
+    frames = []
+    for f in range(3):
+        # a moving object along +x, with points on its roof each frame
+        pose = np.eye(4)
+        pose[:3, 3] = [5.0 + 2 * f, 1.0, 0.5]
+        local = rng.uniform(-0.4, 0.4, (50, 3)) * [4.0, 2.0, 1.4]
+        pts_obj = local @ pose[:3, :3].T + pose[:3, 3]
+        bg = rng.uniform(-30, 30, (100, 3))
+        frames.append(FrameRecord(
+            index=f, cam_to_world_opencv=np.eye(4, dtype=np.float32),
+            intrinsic=np.eye(3, dtype=np.float32), image=None,
+            points=np.concatenate([pts_obj, bg]).astype(np.float32),
+            point_semantics=np.concatenate(
+                [np.full(50, 1), np.zeros(100)]).astype(np.int32),
+            objects={"car_a": {"pose": pose, "lwh": [4.0, 2.0, 1.5],
+                               "type": "car"}},
+            map_points={}, map_polylines={}))
+
+    class Src:
+        def clip_ids(self):
+            return ["c0"]
+
+        def frames(self, cid):
+            return frames
+
+    convert_clip(Src(), "c0", tmp_path, write_images=False)
+    p = tmp_path / "dynamic_object_points_canonical" / "c0.tar"
+    assert p.exists()
+    with TarReader(p) as r:
+        canon = decode_member("npz", r.read("points.npz"))
+    xyz = canon["car_a_xyz"]
+    assert 120 <= len(xyz) <= 160          # ~50 x 3 frames, inside-box only
+    assert np.all(np.abs(xyz) <= np.array([2.05, 1.05, 0.8]) + 1e-5)
+    assert int(canon["car_a_semantic"]) == 1
