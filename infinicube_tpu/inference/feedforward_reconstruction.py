@@ -30,10 +30,16 @@ def reconstruct(batch: dict, mode: str = "dual", params=None, seed: int = 0,
     if params is None:
         params = model.init(jax.random.PRNGKey(seed), batch)
     out = model.apply(params, batch)
-    metrics = {
-        "psnr": float(psnr(out["render"]["rgb"], batch["images"])),
-        "ssim": float(ssim(out["render"]["rgb"], batch["images"])),
-    }
+    # metrics against the rendered views' ground truth: the inputs, or
+    # held-out target images when target views are supplied (val-style eval)
+    gt = batch.get("target_images", batch["images"]) \
+        if "target_poses" in batch else batch["images"]
+    metrics = {}
+    if gt is not None and gt.shape == out["render"]["rgb"].shape:
+        metrics = {
+            "psnr": float(psnr(out["render"]["rgb"], gt)),
+            "ssim": float(ssim(out["render"]["rgb"], gt)),
+        }
     return out, metrics, model, params
 
 

@@ -42,7 +42,7 @@ from infinicube_tpu.grid.grid import Grid
 from infinicube_tpu.grid.ops import (
     index_map, max_pool, neighbor_indexes, to_dense, upsample_nearest)
 from infinicube_tpu.nn.sparse import (
-    GroupNormSparse, SparseResBlock, conv_plan)
+    GroupNormSparse, SparseResBlock, conv_plan, sparse_attention)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -60,6 +60,11 @@ class SparseVAEConfig:
     finest_voxel_size: tuple = (0.2, 0.2, 0.2)
     origin: tuple = (0.1, 0.1, 0.1)
     use_normal_head: bool = False
+    use_color_head: bool = False          # reference with_color_branch
+    attention_levels: tuple = ()          # per-batch AttentionBlock levels
+    attn_heads: int = 4                   # (reference sunet.py:210-266)
+    unstable_cutoff: bool = True          # zero runaway struct predictions
+    unstable_cutoff_threshold: float = 0.4  # (reference sunet.py:636-654)
     conv_backend: str = "auto"            # sparse-conv plan (nn.sparse.conv_plan)
     dtype: object = jnp.float32
 
@@ -173,6 +178,19 @@ class SparseStructureVAE(nn.Module):
         self.sem_head = nn.Dense(cfg.num_semantic, name="sem_head")
         if cfg.use_normal_head:
             self.normal_head = nn.Dense(3, name="normal_head")
+        if cfg.use_color_head:
+            self.color_head = nn.Dense(3, name="color_head")
+        # per-batch flash AttentionBlocks at selected levels (reference
+        # sunet.py:210-266; qkv/proj params live here, nn.sparse applies)
+        self.attn_qkv = {l: [nn.Dense(3 * cfg.level_features(l),
+                                      name=f"attn{l}_{side}_qkv")
+                             for side in ("enc", "dec")]
+                         for l in cfg.attention_levels}
+        self.attn_proj = {l: [nn.Dense(cfg.level_features(l),
+                                       kernel_init=nn.initializers.zeros,
+                                       name=f"attn{l}_{side}_proj")
+                              for side in ("enc", "dec")]
+                          for l in cfg.attention_levels}
 
     # ------------------------------------------------------------------ enc
     def encode(self, grids: list[Grid], semantics: jnp.ndarray):
@@ -184,6 +202,10 @@ class SparseStructureVAE(nn.Module):
             plan = conv_plan(g, cfg.conv_backend)
             for blk in self.enc_blocks[l]:
                 h = blk(h, plan, g.mask)
+            if l in cfg.attention_levels:
+                h = sparse_attention(h, g.mask, cfg.attn_heads,
+                                     self.attn_qkv[l][0],
+                                     self.attn_proj[l][0])
             if l < len(cfg.pooling_factors):
                 _, h = max_pool(g, h, cfg.pooling_factors[l],
                                 coarse=grids[l + 1])
@@ -243,6 +265,10 @@ class SparseStructureVAE(nn.Module):
             plan = conv_plan(grid, cfg.conv_backend)
             for blk in self.dec_blocks[l]:
                 h = blk(h.astype(cfg.dtype), plan, grid.mask)
+            if l in cfg.attention_levels:
+                h = sparse_attention(h.astype(jnp.float32), grid.mask,
+                                     cfg.attn_heads, self.attn_qkv[l][1],
+                                     self.attn_proj[l][1])
             if l == 0:
                 break
             factor = cfg.pooling_factors[l - 1]
@@ -259,6 +285,19 @@ class SparseStructureVAE(nn.Module):
                 keep = member & cand.mask
             else:
                 keep = (jnp.argmax(logits, axis=-1) > 0) & cand.mask
+                if cfg.unstable_cutoff:
+                    # runaway-structure guard (reference unstable_cutoff,
+                    # sunet.py:636-654): if the predicted occupancy exceeds
+                    # the threshold fraction of the dense bound at this
+                    # level, zero the decision (lax-friendly per-batch where)
+                    # dense bound at candidate level l-1 = neck volume x
+                    # all subdivision factors from that level up
+                    bound = float(np.prod(cfg.neck_dims))
+                    for f in cfg.pooling_factors[l - 1:]:
+                        bound *= float(np.prod(f))
+                    ratio = jnp.sum(keep, axis=1) / bound
+                    keep = keep & (ratio[:, None] <=
+                                   cfg.unstable_cutoff_threshold)
             # prune: keep surviving candidates, re-compact to capacity
             kept_keys = jnp.where(keep, cand.keys, GK.INVALID_KEY)
             new_grid = grid_from_keys(kept_keys, cfg.capacities[l - 1],
@@ -273,6 +312,9 @@ class SparseStructureVAE(nn.Module):
                "struct": struct_out, "features": h}
         if cfg.use_normal_head:
             out["normals"] = self.normal_head(h.astype(jnp.float32))
+        if cfg.use_color_head:
+            out["colors"] = nn.sigmoid(
+                self.color_head(h.astype(jnp.float32)))
         return out
 
     # ------------------------------------------------------------- combined

@@ -110,3 +110,38 @@ def test_encode_is_permutation_invariant_to_point_order():
     # same voxel sets in the same sorted order
     np.testing.assert_array_equal(np.asarray(grids_a[0].keys),
                                   np.asarray(grids_b[0].keys))
+
+
+def test_vae_attention_color_and_cutoff():
+    """Round-2 parity depth: per-batch attention levels, color head, and the
+    unstable-cutoff guard (reference sunet.py:210-266, 516-527, 636-654)."""
+    import dataclasses
+    cfg = dataclasses.replace(tiny_cfg(), attention_levels=(2,),
+                              use_color_head=True, attn_heads=2)
+    grids, sem = make_inputs(cfg)
+    model = SparseStructureVAE(cfg)
+    params = model.init(jax.random.PRNGKey(0), grids, sem,
+                        jax.random.PRNGKey(1))
+    names = params["params"].keys()
+    assert "attn2_enc_qkv" in names and "attn2_dec_proj" in names
+    out = model.apply(params, grids, sem, jax.random.PRNGKey(2))
+    assert out["colors"].shape == (2, cfg.capacities[0], 3)
+    assert float(out["colors"].min()) >= 0 and float(out["colors"].max()) <= 1
+
+    # inference decode with a runaway struct head: force logits to predict
+    # occupancy everywhere -> the cutoff zeroes the decision (empty grid
+    # instead of a capacity-corrupting explosion)
+    z = jnp.zeros((2,) + cfg.neck_dims + (cfg.latent_channels,))
+    pruned = jax.tree_util.tree_map(lambda x: x, params)
+    tree = pruned["params"]
+    for k in tree:
+        if k.startswith("struct"):
+            tree[k]["kernel"] = jnp.zeros_like(tree[k]["kernel"])
+            tree[k]["bias"] = jnp.asarray([0.0, 10.0])  # always "occupied"
+    dec = model.apply(pruned, z, method=model.decode)
+    assert int(jax.device_get(dec["grid"].num_voxels.sum())) == 0
+
+    cfg_off = dataclasses.replace(cfg, unstable_cutoff=False)
+    dec2 = SparseStructureVAE(cfg_off).apply(pruned, z,
+                                             method=model.decode)
+    assert int(jax.device_get(dec2["grid"].num_voxels.sum())) > 0
