@@ -193,13 +193,17 @@ class SparseStructureVAE(nn.Module):
                           for l in cfg.attention_levels}
 
     # ------------------------------------------------------------------ enc
-    def encode(self, grids: list[Grid], semantics: jnp.ndarray):
+    def encode(self, grids: list[Grid], semantics: jnp.ndarray,
+               plans: list | None = None):
         """grids: hash tree [G0..G_L]; semantics int32[B, C0] on G0.
-        Returns (mu, logvar) dense [B, D, H, W, latent]."""
+        Returns (mu, logvar) dense [B, D, H, W, latent]. ``plans``:
+        precomputed conv plans per level (shared with the teacher-forced
+        decoder — plan building costs ~0.5 s at 131k voxels)."""
         cfg = self.cfg
         h = self.featurizer(grids[0], semantics)
         for l, g in enumerate(grids):
-            plan = conv_plan(g, cfg.conv_backend)
+            plan = plans[l] if plans is not None else \
+                conv_plan(g, cfg.conv_backend)
             for blk in self.enc_blocks[l]:
                 h = blk(h, plan, g.mask)
             if l in cfg.attention_levels:
@@ -226,11 +230,14 @@ class SparseStructureVAE(nn.Module):
             vs = vs * f
         return jnp.asarray(vs, jnp.float32), jnp.asarray(org, jnp.float32)
 
-    def decode(self, z: jnp.ndarray, guide_grids: list[Grid] | None = None):
+    def decode(self, z: jnp.ndarray, guide_grids: list[Grid] | None = None,
+               guide_plans: list | None = None):
         """Decode latents into a sparse semantic grid.
 
-        Training (guide_grids = GT hash tree): teacher-forced; returns
-        per-level struct logits + targets for the loss.
+        Training (guide_grids = GT hash tree): teacher-forced — the pruned
+        grid at each level equals the guide grid exactly (every guide voxel's
+        parent is in the guide tree), so the guide grids and their conv
+        plans (guide_plans) are reused instead of rebuilding grids/plans.
         Inference (guide_grids None): predicted masks grow the grid.
 
         Returns dict: grid (finest Grid), semantic_logits [B, C0, 23],
@@ -262,7 +269,9 @@ class SparseStructureVAE(nn.Module):
                             cfg.neck_ijk_min)
 
         for l in range(L - 1, -1, -1):
-            plan = conv_plan(grid, cfg.conv_backend)
+            plan = guide_plans[l] if (guide_grids is not None and
+                                      guide_plans is not None) else \
+                conv_plan(grid, cfg.conv_backend)
             for blk in self.dec_blocks[l]:
                 h = blk(h.astype(cfg.dtype), plan, grid.mask)
             if l in cfg.attention_levels:
@@ -298,10 +307,15 @@ class SparseStructureVAE(nn.Module):
                     ratio = jnp.sum(keep, axis=1) / bound
                     keep = keep & (ratio[:, None] <=
                                    cfg.unstable_cutoff_threshold)
-            # prune: keep surviving candidates, re-compact to capacity
-            kept_keys = jnp.where(keep, cand.keys, GK.INVALID_KEY)
-            new_grid = grid_from_keys(kept_keys, cfg.capacities[l - 1],
-                                      cand.voxel_size, cand.origin)
+            # prune: keep surviving candidates, re-compact to capacity.
+            # Teacher forcing: the surviving set IS the guide grid (see
+            # docstring) — reuse it instead of a sort-heavy rebuild.
+            if guide_grids is not None:
+                new_grid = guide_grids[l - 1]
+            else:
+                kept_keys = jnp.where(keep, cand.keys, GK.INVALID_KEY)
+                new_grid = grid_from_keys(kept_keys, cfg.capacities[l - 1],
+                                          cand.voxel_size, cand.origin)
             move = index_map(new_grid, cand)
             h = jax.vmap(lambda d, i: d[jnp.clip(i, 0)])(h_cand, move)
             h = jnp.where((move >= 0)[..., None], h, 0.0)
@@ -320,7 +334,8 @@ class SparseStructureVAE(nn.Module):
     # ------------------------------------------------------------- combined
     def __call__(self, grids: list[Grid], semantics: jnp.ndarray,
                  rng: jax.Array):
-        mu, logvar = self.encode(grids, semantics)
+        plans = [conv_plan(g, self.cfg.conv_backend) for g in grids]
+        mu, logvar = self.encode(grids, semantics, plans=plans)
         z = self.reparametrize(mu, logvar, rng)
-        dec = self.decode(z, guide_grids=grids)
+        dec = self.decode(z, guide_grids=grids, guide_plans=plans)
         return {"mu": mu, "logvar": logvar, "z": z, **dec}

@@ -99,12 +99,17 @@ def build_window_plan(grid: Grid, block_rows: int = 128,
     inwin = valid & (pos >= 0) & (pos < W)
     pos = jnp.where(inwin, pos, -1).astype(jnp.int32)
 
-    # fallback compaction: flat order (block, tap, o)
+    # fallback compaction: flat order (block, tap, o). O(N) cumsum+scatter
+    # (a sort here costs ~1s/step at 131k-voxel scale; plans rebuild per
+    # training batch, so plan build must stay cheap)
     miss = (valid & ~inwin).reshape(B, -1)              # [B, CB*27*P]
     N = miss.shape[1]
     num_missed = jnp.sum(miss, axis=1).astype(jnp.int32)
-    order = jnp.where(miss, jnp.arange(N, dtype=jnp.int32), N)
-    top = jnp.sort(order, axis=1)[:, :miss_capacity]    # first M miss slots
+    dst = jnp.where(miss, jnp.cumsum(miss, axis=1) - 1, miss_capacity)
+    src = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, N))
+    top = jnp.full((B, miss_capacity), N, jnp.int32)
+    top = jax.vmap(lambda t, d, s: t.at[d].set(s, mode="drop"))(
+        top, dst, src)
     ok = top < N
     top = jnp.where(ok, top, 0)
     # decode (block, tap, o) -> rows
