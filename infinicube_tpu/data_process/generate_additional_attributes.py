@@ -62,6 +62,37 @@ def register_sky_segmenter(fn):
     _SKY_SEGMENTER = fn
 
 
+def make_segformer_sky_segmenter(params, cfg=None):
+    """Build a sky segmenter from converted SegFormer weights
+    (models/gsm/segformer.py; the reference runs the cityscapes-pretrained
+    mmseg SegFormer, :65). Usage:
+        params = convert_segformer_hf(torch.load(...), SegformerConfig.b0())
+        register_sky_segmenter(make_segformer_sky_segmenter(params))
+    """
+    import jax
+    import jax.numpy as jnp
+    from infinicube_tpu.models.gsm.segformer import (
+        Segformer, SegformerConfig, sky_mask_from_logits)
+    cfg = cfg or SegformerConfig.b0()
+    model = Segformer(cfg)
+    mean = np.asarray([0.485, 0.456, 0.406], np.float32)
+    std = np.asarray([0.229, 0.224, 0.225], np.float32)
+
+    @jax.jit
+    def fwd(x):
+        logits = model.apply(params, x)
+        return sky_mask_from_logits(logits, x.shape[1:3])
+
+    def segment(image: np.ndarray) -> np.ndarray:
+        x = np.asarray(image, np.float32)
+        if x.max() > 1.5:
+            x = x / 255.0
+        x = (x - mean) / std
+        return np.asarray(jax.device_get(fwd(jnp.asarray(x)[None])))[0]
+
+    return segment
+
+
 def discretize_points(points: np.ndarray, spacing: float) -> np.ndarray:
     """Deduplicate points on a ``spacing`` lattice (map 0.25 m / road
     surface 0.4 m discretization, reference :228)."""

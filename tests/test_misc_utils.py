@@ -317,3 +317,98 @@ def test_convert_clip_canonical_dynamic_points(tmp_path):
     assert 120 <= len(xyz) <= 160          # ~50 x 3 frames, inside-box only
     assert np.all(np.abs(xyz) <= np.array([2.05, 1.05, 0.8]) + 1e-5)
     assert int(canon["car_a_semantic"]) == 1
+
+
+def test_depth_alignment_suite():
+    """align_depth_to_depth / align_inv_depth_to_depth recover a known
+    affine map under outliers (reference depth_utils.py:225-400)."""
+    from infinicube_tpu.utils.depth_vis import (
+        align_depth_to_depth, align_depth_to_depth_batch,
+        align_inv_depth_to_depth, normalize_pointmap)
+    rng = np.random.default_rng(0)
+    gt = rng.uniform(5, 50, (40, 60))
+    src = (gt - 2.0) / 1.5                     # gt = 1.5 * src + 2
+    src[0, :5] = 0                              # invalid stays invalid
+    gt_sparse = np.where(rng.uniform(size=gt.shape) < 0.3, gt, 0.0)
+    out = align_depth_to_depth(src, gt_sparse)
+    m = (src > 0) & (gt_sparse > 0)
+    np.testing.assert_allclose(out[m], gt[m], rtol=1e-3)
+    assert (out[0, :5] == 0).all()
+    s, b = align_depth_to_depth(src, gt_sparse, return_scale=True)
+    assert abs(s - 1.5) < 1e-3 and abs(b - 2.0) < 1e-2
+
+    # inverse-depth: inv_src = a / gt + c -> recoverable
+    inv_src = 1.0 / gt * 2.0 + 0.001
+    out = align_inv_depth_to_depth(inv_src, gt_sparse)
+    band = m & (gt > np.quantile(gt, 0.15)) & (gt < np.quantile(gt, 0.85))
+    np.testing.assert_allclose(out[band], gt[band], rtol=1e-2)
+
+    outb = align_depth_to_depth_batch(src[None], gt_sparse[None])
+    np.testing.assert_allclose(outb[0][m], gt[m], rtol=1e-3)
+
+    pts = rng.normal(size=(8, 8, 3)) * 10
+    norm, scale = normalize_pointmap(pts)
+    assert abs(np.linalg.norm(norm.reshape(-1, 3), axis=-1).mean() - 1.0) \
+        < 1e-6
+
+
+def test_skybox_read_render_api(tmp_path):
+    """read_skybox + render_sky_api dispatch (reference sky_utils:504-640):
+    panorama (full + hemi), cubemap, modulator, and fallbacks."""
+    import jax
+    from infinicube_tpu.utils.sky_math import (
+        read_skybox, render_sky_api, sample_cubemap,
+        cubemap_face_uv_to_direction)
+
+    # fallback: black / white_bg
+    d = read_skybox(tmp_path / "model.ply")
+    assert d["type"] == "rgb_panorama" and d["panorama"].max() == 0
+    assert read_skybox(tmp_path / "model.ply",
+                       white_bg=True)["panorama"].min() == 1
+
+    # full latlong panorama (H x 2H): constant color renders constant
+    pano = np.full((32, 64, 3), 0.25, np.float32)
+    np.savez_compressed(tmp_path / "model_pano.npz", panorama=pano)
+    d = read_skybox(tmp_path / "model.ply")
+    img = render_sky_api(d, np.eye(4), 24, 32, 60.0, 80.0)
+    assert img.shape == (24, 32, 3)
+    np.testing.assert_allclose(img, 0.25, atol=1e-5)
+
+    # cubemap: sampling along a face center returns that face's center color
+    faces = np.zeros((6, 16, 16, 3), np.float32)
+    for f in range(6):
+        faces[f] = (f + 1) / 10.0
+    got = sample_cubemap(faces, np.array([[1.0, 0, 0], [-1.0, 0, 0],
+                                          [0, 1.0, 0], [0, -1.0, 0],
+                                          [0, 0, 1.0], [0, 0, -1.0]]))
+    np.testing.assert_allclose(got[:, 0], np.arange(1, 7) / 10.0, atol=1e-5)
+    # round trip: direction -> face uv -> direction
+    for f in range(6):
+        uv = np.array([[0.3, 0.7]])
+        dd = cubemap_face_uv_to_direction(f, uv)
+        back = sample_cubemap(faces, dd)
+        assert abs(float(back[0, 0]) - (f + 1) / 10.0) < 1e-5
+
+    (tmp_path / "c").mkdir()
+    np.savez_compressed(tmp_path / "c" / "m_cubemap.npz", faces=faces)
+    d = read_skybox(tmp_path / "c" / "m.ply")
+    assert d["type"] == "rgb_cubemap"
+    img = render_sky_api(d, np.eye(4), 16, 16, 60.0, 60.0)
+    assert img.shape == (16, 16, 3) and np.isfinite(img).all()
+
+    # modulator: init a tiny MLP modulator, save token+params, render
+    import jax.numpy as jnp
+    from infinicube_tpu.models.gsm.sky import SkyConfig, SkyboxMlpModulator
+    cfg = SkyConfig(embed_dim=16, num_layers=1, num_heads=2)
+    mod = SkyboxMlpModulator(cfg)
+    tok = np.zeros((16,), np.float32)
+    params = mod.init(jax.random.PRNGKey(0), jnp.asarray(tok),
+                      jnp.ones((4, 3)), method=SkyboxMlpModulator.sample)
+    (tmp_path / "s").mkdir()
+    np.save(tmp_path / "s" / "m_sky_token.npy", tok)
+    np.savez(tmp_path / "s" / "m_modulator.npz", params=params["params"])
+    d = read_skybox(tmp_path / "s" / "m.pkl")
+    assert d["type"] == "sky_modulator"
+    d["config"] = cfg
+    img = render_sky_api(d, np.eye(4), 8, 12, 60.0, 80.0)
+    assert img.shape == (8, 12, 3) and np.isfinite(img).all()
