@@ -12,7 +12,9 @@ sky_mask = ch0 == 0; effective_mask = ch1 * ch2.
 Encoder kinds: "conv" (exact mirror of conv_encoder.py), "dav2" (frozen
 checkpoint-shaped Depth-Anything-V2 tower + trainable refiner — see
 models/gsm/dav2.py and weights convert_dav2_hf), and "vit" (a generic patch
-ViT retained as a lightweight stand-in for configs without DAv2 weights)."""
+ViT retained as a lightweight stand-in for configs without DAv2 weights),
+and "plucker" (conv patchifier over rgb+plucker-ray channels,
+plucker_conv_patch_encoder.py)."""
 
 from __future__ import annotations
 
@@ -104,22 +106,59 @@ class DAV2FeatureEncoder(nn.Module):
         return jax.image.resize(h, (B, H, W, self.width), "bilinear")
 
 
+class PluckerConvPatchEncoder(nn.Module):
+    """Conv patchifier over [rgb | plucker rays | depth] channels (reference
+    plucker_conv_patch_encoder.py:5-108): per-pixel plucker coordinates
+    (d, o x d) from the camera, optional metric depth channel, stride-patch
+    conv + LayerNorm, resized back to the pixel grid."""
+    width: int = 64
+    patch: int = 8
+    concat_plucker: bool = True
+    concat_depth: bool = False
+
+    @nn.compact
+    def __call__(self, images, Ks=None, cam_to_worlds=None, depth=None):
+        import jax
+        from infinicube_tpu.camera import projection as proj
+        B, H, W, _ = images.shape
+        parts = [images]
+        if self.concat_plucker and Ks is not None:
+            ro, rd = jax.vmap(lambda K, p: proj.posed_rays_from_intrinsics(
+                K, p, (H, W)))(Ks, cam_to_worlds)
+            moment = jnp.cross(ro, rd)
+            parts += [rd, moment]
+        if self.concat_depth and depth is not None:
+            parts.append(depth)
+        x = jnp.concatenate(parts, axis=-1)
+        p = self.patch
+        x = nn.Conv(self.width, (p, p), strides=(p, p),
+                    name="conv_patchify")(x)
+        x = nn.LayerNorm(name="ln")(x)
+        return jax.image.resize(x, (B, H, W, self.width), "bilinear")
+
+
 @dataclasses.dataclass(frozen=True)
 class UnifiedEncoderConfig:
-    encoders: Sequence[str] = ("conv",)     # + "dav2" (frozen DAv2) / "vit"
+    encoders: Sequence[str] = ("conv",)     # + "dav2" / "vit" / "plucker"
     conv_width: int = 64
     vit_width: int = 128
     dav2_width: int = 64
     dav2_target_hw: tuple = (252, 336)
     dav2_config: Any = None                 # DAv2Config override (tests)
+    plucker_width: int = 64
+    plucker_patch: int = 8
 
 
 class UnifiedEncoder(nn.Module):
     cfg: UnifiedEncoderConfig = UnifiedEncoderConfig()
 
     @nn.compact
-    def __call__(self, images: jnp.ndarray, masks: jnp.ndarray):
-        """images f32[B, V, H, W, 3] in [0,1]; masks f32[B, V, H, W, 4].
+    def __call__(self, images: jnp.ndarray, masks: jnp.ndarray,
+                 Ks: jnp.ndarray | None = None,
+                 cam_to_worlds: jnp.ndarray | None = None,
+                 depth: jnp.ndarray | None = None):
+        """images f32[B, V, H, W, 3] in [0,1]; masks f32[B, V, H, W, 4];
+        Ks/cam_to_worlds [B, V, ...] (needed by the "plucker" kind).
         Returns dict: features [B, V, H, W, F], sky_mask, effective_mask,
         original_rgb."""
         B, V, H, W, _ = images.shape
@@ -133,6 +172,16 @@ class UnifiedEncoder(nn.Module):
             feats.append(DAV2FeatureEncoder(
                 self.cfg.dav2_width, self.cfg.dav2_target_hw,
                 self.cfg.dav2_config, name="dav2")(flat))
+        if "plucker" in self.cfg.encoders:
+            feats.append(PluckerConvPatchEncoder(
+                self.cfg.plucker_width, self.cfg.plucker_patch,
+                name="plucker")(
+                flat,
+                None if Ks is None else Ks.reshape(B * V, 3, 3),
+                None if cam_to_worlds is None
+                else cam_to_worlds.reshape(B * V, 4, 4),
+                None if depth is None
+                else depth.reshape(B * V, H, W, -1)))
         f = jnp.concatenate(feats, axis=-1).reshape(B, V, H, W, -1)
         sky_mask = masks[..., 0] == 0
         effective = masks[..., 1] * masks[..., 2]

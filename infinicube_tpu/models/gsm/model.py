@@ -117,7 +117,12 @@ class GSM(nn.Module):
         Returns dict with gaussians, renders, sky token."""
         cfg = self.cfg
         images = batch["images"]
-        enc = self.encoder(images[None], batch["masks"][None])
+        enc = self.encoder(images[None], batch["masks"][None],
+                           Ks=batch["Ks"][None],
+                           cam_to_worlds=batch["cam_to_worlds"][None],
+                           depth=batch.get("depth_prior",
+                                           jnp.zeros(images.shape[:3] +
+                                                     (1,)))[None])
         feats = enc["features"][0]                       # [V, H, W, F]
         sky_mask = enc["sky_mask"][0]
         eff_mask = enc["effective_mask"][0]

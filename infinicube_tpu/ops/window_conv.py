@@ -55,7 +55,7 @@ def _interpret() -> bool:
 @dataclasses.dataclass(frozen=True)
 class WindowPlan:
     """Per-grid window decomposition (build once per grid, reuse per conv)."""
-    starts: jnp.ndarray      # int32[B, CB, 9]  window start, 128-row units
+    starts: jnp.ndarray      # int32[B, CB, 9]  window start (wblock units)
     pos: jnp.ndarray         # int32[B, CB, 27, P] window-relative row (-1)
     miss_out: jnp.ndarray    # int32[B, M] output row of fallback pair (-1 pad)
     miss_in: jnp.ndarray     # int32[B, M] input row
@@ -65,6 +65,8 @@ class WindowPlan:
                                         default=128)
     window_rows: int = dataclasses.field(metadata=dict(static=True),
                                          default=256)
+    window_block: int = dataclasses.field(metadata=dict(static=True),
+                                          default=64)
 
     @property
     def overflowed(self) -> jnp.ndarray:
@@ -74,28 +76,28 @@ class WindowPlan:
 
 
 @partial(jax.jit, static_argnames=("block_rows", "window_rows",
-                                   "miss_capacity"))
+                                   "window_block", "miss_capacity"))
 def build_window_plan(grid: Grid, block_rows: int = 128,
-                      window_rows: int = 256,
+                      window_rows: int = 256, window_block: int = 64,
                       miss_capacity: int = 4096) -> WindowPlan:
-    P, W = block_rows, window_rows
+    P, W, WB = block_rows, window_rows, window_block
     B, C = grid.mask.shape
-    if C % P or C % 128 or W % 128:
-        raise ValueError("capacity must be a multiple of 128")
+    if C % P or C % WB or W % WB:
+        raise ValueError("capacity must be a multiple of the window block")
     CB = C // P
-    NBLK = C // 128
-    nwin = W // 128
+    NBLK = C // WB
+    nwin = W // WB
 
     idx = neighbor_indexes(grid, 3)                     # [B, C, 27]
     idxb = idx.reshape(B, CB, P, 27).transpose(0, 1, 3, 2)  # [B, CB, 27, P]
     valid = idxb >= 0
     big = jnp.where(valid, idxb, jnp.int32(1 << 30))
     dmin = big.reshape(B, CB, 9, 3, P).min(axis=(3, 4))     # [B, CB, 9]
-    starts = jnp.clip(dmin // 128, 0, NBLK - nwin).astype(jnp.int32)
+    starts = jnp.clip(dmin // WB, 0, NBLK - nwin).astype(jnp.int32)
 
     dirs = jnp.repeat(jnp.arange(9), 3)                 # tap -> direction
     s_tap = jnp.take(starts, dirs, axis=2)              # [B, CB, 27]
-    pos = idxb - s_tap[..., None] * 128
+    pos = idxb - s_tap[..., None] * WB
     inwin = valid & (pos >= 0) & (pos < W)
     pos = jnp.where(inwin, pos, -1).astype(jnp.int32)
 
@@ -124,7 +126,8 @@ def build_window_plan(grid: Grid, block_rows: int = 128,
     miss_tap = jnp.where(ok, tap, -1).astype(jnp.int32)
     return WindowPlan(starts=starts, pos=pos, miss_out=miss_out,
                       miss_in=miss_in, miss_tap=miss_tap,
-                      num_missed=num_missed, block_rows=P, window_rows=W)
+                      num_missed=num_missed, block_rows=P, window_rows=W,
+                      window_block=WB)
 
 
 # ---------------------------------------------------------------------------
@@ -175,13 +178,13 @@ def _dw_kernel(P, W, nwin):
     return kernel
 
 
-def _window_specs(nwin, F, block_rows):
-    """18 window BlockSpecs: (1, 128, F) blocks at data-dependent rows."""
+def _window_specs(nwin, F, wblock):
+    """9*nwin window BlockSpecs: (1, wblock, F) at data-dependent rows."""
     specs = []
     for d in range(9):
         for j in range(nwin):
             specs.append(pl.BlockSpec(
-                (1, 128, F),
+                (1, wblock, F),
                 functools.partial(
                     lambda b, i, s, d=0, j=0: (b, s[b, i, d] + j, 0),
                     d=d, j=j),
@@ -194,7 +197,7 @@ def _conv_core(plan: WindowPlan, feats: jnp.ndarray,
     """The windowed part of the conv (no fallback). feats [B, C, F]."""
     B, C, F = feats.shape
     P, W = plan.block_rows, plan.window_rows
-    CB, nwin = C // P, W // 128
+    CB, nwin = C // P, W // plan.window_block
     Fo = w.shape[-1]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -203,7 +206,7 @@ def _conv_core(plan: WindowPlan, feats: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((1, 1, 27, P), lambda b, i, s: (b, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            *_window_specs(nwin, F, P),
+            *_window_specs(nwin, F, plan.window_block),
             pl.BlockSpec((27, F, Fo), lambda b, i, s: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -223,7 +226,7 @@ def _dw_core(plan: WindowPlan, feats: jnp.ndarray,
     """dL/dw [27, F, Fo] accumulated over all blocks."""
     B, C, F = feats.shape
     P, W = plan.block_rows, plan.window_rows
-    CB, nwin = C // P, W // 128
+    CB, nwin = C // P, W // plan.window_block
     Fo = g.shape[-1]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -232,7 +235,7 @@ def _dw_core(plan: WindowPlan, feats: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((1, 1, 27, P), lambda b, i, s: (b, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            *_window_specs(nwin, F, P),
+            *_window_specs(nwin, F, plan.window_block),
             pl.BlockSpec((1, P, Fo), lambda b, i, s: (b, i, 0),
                          memory_space=pltpu.VMEM),
         ],

@@ -156,3 +156,27 @@ def test_voxel_preprocess_surface_and_crop():
     assert int(out.total_voxels) == 125 - 27
     out2 = GSM.voxel_preprocess(g, crop_min=(0, 0, 0), crop_max=(1.6, 10, 10))
     assert int(out2.total_voxels) == 2 * 25
+
+
+def test_plucker_encoder_kind():
+    """UnifiedEncoder "plucker" kind: rgb + plucker-ray channels patchified
+    (reference plucker_conv_patch_encoder.py)."""
+    import jax
+    from infinicube_tpu.models.gsm.encoders import (
+        UnifiedEncoder, UnifiedEncoderConfig)
+    cfg = UnifiedEncoderConfig(encoders=("conv", "plucker"),
+                               plucker_width=8, plucker_patch=4)
+    enc = UnifiedEncoder(cfg)
+    imgs = jnp.ones((1, 2, 16, 24, 3))
+    masks = jnp.ones((1, 2, 16, 24, 4))
+    K = jnp.asarray([[20.0, 0, 12], [0, 20, 8], [0, 0, 1]])
+    Ks = jnp.tile(K, (1, 2, 1, 1))
+    poses = jnp.tile(jnp.eye(4), (1, 2, 1, 1))
+    p = enc.init(jax.random.PRNGKey(0), imgs, masks, Ks, poses)
+    out = enc.apply(p, imgs, masks, Ks, poses)
+    assert out["features"].shape == (1, 2, 16, 24, 64 + 8)
+    # different poses -> different plucker features
+    poses2 = poses.at[0, 1, 0, 3].set(5.0)
+    out2 = enc.apply(p, imgs, masks, Ks, poses2)
+    assert float(jnp.abs(out2["features"][0, 1] -
+                         out["features"][0, 1]).max()) > 0

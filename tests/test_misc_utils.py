@@ -412,3 +412,83 @@ def test_skybox_read_render_api(tmp_path):
     d["config"] = cfg
     img = render_sky_api(d, np.eye(4), 8, 12, 60.0, 80.0)
     assert img.shape == (8, 12, 3) and np.isfinite(img).all()
+
+
+def test_box3d_overlap_exact():
+    """Exact OBB intersection volume + IoU (pytorch3d box3d_overlap
+    semantics, SURVEY §2.1 N5) on analytic and Monte-Carlo-checked cases."""
+    from infinicube_tpu.utils.bbox import box3d_overlap, points_in_obb
+
+    def pose(t, yaw=0.0):
+        T = np.eye(4)
+        c, s = np.cos(yaw), np.sin(yaw)
+        T[:3, :3] = [[c, -s, 0], [s, c, 0], [0, 0, 1]]
+        T[:3, 3] = t
+        return T
+
+    # identical boxes
+    v, iou = box3d_overlap([4, 2, 1.5], pose([0, 0, 0]),
+                           [4, 2, 1.5], pose([0, 0, 0]))
+    np.testing.assert_allclose(v, 12.0, rtol=1e-9)
+    np.testing.assert_allclose(iou, 1.0, rtol=1e-9)
+    # disjoint
+    v, iou = box3d_overlap([2, 2, 2], pose([0, 0, 0]),
+                           [2, 2, 2], pose([10, 0, 0]))
+    assert v == 0.0 and iou == 0.0
+    # axis-aligned half overlap: shift by half the length
+    v, _ = box3d_overlap([2, 2, 2], pose([0, 0, 0]),
+                         [2, 2, 2], pose([1, 0, 0]))
+    np.testing.assert_allclose(v, 4.0, rtol=1e-9)
+    # rotated case vs Monte Carlo
+    p1, p2 = pose([0, 0, 0]), pose([0.8, 0.3, 0.2], yaw=0.6)
+    l1, l2 = [3.0, 1.6, 1.2], [2.5, 2.0, 1.0]
+    v, _ = box3d_overlap(l1, p1, l2, p2)
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-3, 3, (400_000, 3))
+    import jax.numpy as jnp
+    m = np.asarray(points_in_obb(jnp.asarray(pts), jnp.asarray(p1),
+                                 jnp.asarray(l1))) & \
+        np.asarray(points_in_obb(jnp.asarray(pts), jnp.asarray(p2),
+                                 jnp.asarray(l2)))
+    mc = m.mean() * 6.0 ** 3
+    np.testing.assert_allclose(v, mc, rtol=0.05)
+    # contained box
+    v, _ = box3d_overlap([4, 4, 4], pose([0, 0, 0]),
+                         [1, 1, 1], pose([0.5, 0.5, 0.5], yaw=0.3))
+    np.testing.assert_allclose(v, 1.0, rtol=1e-6)
+
+
+def test_trajectory_recorder(tmp_path):
+    """Keyframes -> interpolated trajectory -> rendered frames + persistence
+    (record_utils parity, visualize/recorder.py)."""
+    from infinicube_tpu.visualize.recorder import (
+        TrajectoryRecorder, pose_from_wxyz_position)
+
+    rec = TrajectoryRecorder()
+    # viser-style keyframe (identity quat wxyz=(1,0,0,0))
+    rec.add_keyframe(wxyz=[1, 0, 0, 0], position=[0, 0, 0])
+    one = rec.interpolate(10)
+    assert one.shape == (1, 4, 4)          # single pose -> still
+    rec.add_keyframe(pose=pose_from_wxyz_position([1, 0, 0, 0], [10, 0, 0]))
+    two = rec.interpolate(12)
+    assert two.shape == (12, 4, 4)
+    np.testing.assert_allclose(two[0, :3, 3], [0, 0, 0], atol=1e-9)
+    np.testing.assert_allclose(two[-1, :3, 3], [10, 0, 0], atol=1e-9)
+    rec.add_keyframe(pose=pose_from_wxyz_position([1, 0, 0, 0], [10, 5, 0]))
+    tri = rec.interpolate(24)
+    assert tri.shape[0] == 24
+    # rotations stay orthonormal through the spline
+    RtR = np.einsum("nij,nik->njk", tri[:, :3, :3], tri[:, :3, :3])
+    np.testing.assert_allclose(RtR, np.broadcast_to(np.eye(3), RtR.shape),
+                               atol=1e-6)
+
+    poses = rec.save_poses(tmp_path / "traj.npy")
+    np.testing.assert_allclose(TrajectoryRecorder.load_poses(
+        tmp_path / "traj.npy"), poses.astype(np.float32))
+
+    frames, used = rec.record(
+        lambda T: np.full((8, 12, 3), min(T[0, 3] / 10, 1.0)),
+        num_frames=6, out_path=tmp_path / "video")
+    assert frames.shape[0] == used.shape[0] == 24 or frames.shape[0] == 6
+    assert (tmp_path / "video.mp4").exists() or \
+        (tmp_path / "video.npz").exists()
