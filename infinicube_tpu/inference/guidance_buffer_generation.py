@@ -170,6 +170,10 @@ def main(argv=None):
                          "object_id_int}} for parked-car instance ids")
     ap.add_argument("--poses", default=None,
                     help="npy [T,4,4] FLU poses; default: straight-line")
+    ap.add_argument("--keyframes", default=None,
+                    help="npy [K,4,4] keyframe poses -> smooth trajectory "
+                         "(the reference's viser-recorded capture; "
+                         "visualize.recorder.TrajectoryRecorder)")
     ap.add_argument("--output", required=True)
     ap.add_argument("--num_frames", type=int, default=93)
     ap.add_argument("--frame_offset", type=int, default=0)
@@ -179,7 +183,13 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     world = load_voxel_world(args.voxel_world)
-    if args.poses:
+    if args.keyframes:
+        from infinicube_tpu.visualize.recorder import TrajectoryRecorder
+        rec = TrajectoryRecorder()
+        for T in np.load(args.keyframes):
+            rec.add_keyframe(pose=T)
+        poses = rec.interpolate(args.num_frames)
+    elif args.poses:
         poses = np.load(args.poses)
     else:
         poses = np.tile(np.eye(4), (args.num_frames, 1, 1))

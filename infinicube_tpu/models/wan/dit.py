@@ -55,6 +55,12 @@ class WanDiTConfig:
     out_channels: int = 16
     text_dim: int = 4096            # umt5-xxl hidden
     freq_dim: int = 256
+    # sequence parallelism: when set (e.g. "seq"), self-attention runs as
+    # ring attention over that mesh axis (tokens sharded over ICI) instead
+    # of the single-device flash kernel — requires an ambient jax mesh with
+    # the axis (jax.set_mesh); cross-attention stays local (text context is
+    # replicated)
+    sp_axis: str | None = None
     patch_size: tuple = (1, 2, 2)
     buffer_channels: int = 32       # 2 x VAE-encoded buffer videos
     use_buffer_embedder: bool = True
@@ -127,6 +133,7 @@ def _dense(features, axes, name, dtype, zero=False):
 class WanAttention(nn.Module):
     cfg: WanDiTConfig
     cross: bool = False
+    sp_mesh: Any = None      # concrete mesh for ring-attention shard_map
 
     @nn.compact
     def __call__(self, x, context=None, rope_angles=None):
@@ -157,14 +164,21 @@ class WanAttention(nn.Module):
             k = apply_rope(k, rope_angles)
         q = q.astype(cfg.dtype)
         k = k.astype(cfg.dtype)
-        from infinicube_tpu.ops.attention import multi_head_attention
-        out = multi_head_attention(q, k, v)  # Pallas flash kernel on TPU
+        if cfg.sp_axis and not self.cross:
+            # sequence-parallel exact attention over the mesh axis (tokens
+            # sharded over cfg.sp_axis by the caller's in_shardings)
+            from infinicube_tpu.ops.ring_attention import ring_attention
+            out = ring_attention(q, k, v, self.sp_mesh, axis=cfg.sp_axis)
+        else:
+            from infinicube_tpu.ops.attention import multi_head_attention
+            out = multi_head_attention(q, k, v)  # Pallas flash kernel on TPU
         out = out.reshape(B, N, C)
         return _dense(C, ("heads", "embed"), "o", cfg.dtype)(out)
 
 
 class WanBlock(nn.Module):
     cfg: WanDiTConfig
+    sp_mesh: Any = None
 
     @nn.compact
     def __call__(self, x, t_mod, context, rope_angles):
@@ -178,7 +192,8 @@ class WanBlock(nn.Module):
         h = nn.LayerNorm(use_bias=False, use_scale=False,
                          dtype=jnp.float32)(x)
         h = h * (1 + sc1) + sh1
-        x = x + g1 * WanAttention(cfg, name="self_attn")(
+        x = x + g1 * WanAttention(cfg, sp_mesh=self.sp_mesh,
+                                  name="self_attn")(
             h.astype(cfg.dtype), rope_angles=rope_angles)
         # cross-attn to text (no modulation, Wan-style)
         h = nn.LayerNorm(dtype=jnp.float32, name="cross_norm")(x)
@@ -200,8 +215,12 @@ class WanDiT(nn.Module):
     __call__(latents [B, T, H, W, C_in], t [B], text_emb [B, L, text_dim],
              buffer_latents [B, T, H, W, buffer_channels] | None)
     -> velocity [B, T, H, W, C_out]
+
+    ``sp_mesh``: concrete jax Mesh when cfg.sp_axis is set (self-attention
+    runs as ring attention over that axis; shard token inputs accordingly).
     """
     cfg: WanDiTConfig
+    sp_mesh: Any = None
 
     @nn.compact
     def __call__(self, latents, t, text_emb, buffer_latents=None):
@@ -238,12 +257,16 @@ class WanDiT(nn.Module):
 
         angles = rope_3d((gt, gh, gw), cfg.dim // cfg.num_heads)
         if cfg.scan_layers:
+            outer = self
+
             class _Body(nn.Module):
                 cfg: WanDiTConfig
 
                 @nn.compact
                 def __call__(self, h, t_mod, ctx, ang):
-                    return WanBlock(self.cfg)(h, t_mod, ctx, ang), None
+                    return WanBlock(self.cfg,
+                                    sp_mesh=outer.sp_mesh)(
+                        h, t_mod, ctx, ang), None
 
             ScanBlock = nn.scan(
                 _Body, variable_axes={"params": 0},
@@ -256,7 +279,8 @@ class WanDiT(nn.Module):
                                                  t_mod, ctx, angles)
         else:
             for i in range(cfg.num_layers):
-                x = WanBlock(cfg, name=f"block{i}")(x, t_mod, ctx, angles)
+                x = WanBlock(cfg, sp_mesh=self.sp_mesh,
+                             name=f"block{i}")(x, t_mod, ctx, angles)
 
         # final adaLN + unpatchify (zero-init head).  Wan's Head computes
         # shift, scale = (head.modulation + t_emb).chunk(2, dim=1) with the

@@ -36,9 +36,12 @@ def _block_attend(q, k, v, scale):
 
 
 def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                   mesh: Mesh, axis: str = "seq") -> jnp.ndarray:
+                   mesh: Mesh | None = None,
+                   axis: str = "seq") -> jnp.ndarray:
     """q/k/v f32[B, N, h, d] sharded over N on ``axis``. Exact softmax
-    attention; returns [B, N, h, d] with the same sharding."""
+    attention; returns [B, N, h, d] with the same sharding. With
+    ``mesh=None`` the ambient mesh (jax.set_mesh / Mesh context) is used —
+    how the Wan DiT invokes it under sequence parallelism."""
     scale = 1.0 / jnp.sqrt(jnp.float32(q.shape[-1]))
 
     def local(qb, kb, vb):
@@ -70,8 +73,8 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         return jax.vmap(one_batch)(qb, kb, vb)
 
     spec = P(None, axis, None, None)
-    fn = shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
-                   out_specs=spec)
+    kw = {} if mesh is None else {"mesh": mesh}
+    fn = shard_map(local, in_specs=(spec, spec, spec), out_specs=spec, **kw)
     return fn(q, k, v)
 
 
