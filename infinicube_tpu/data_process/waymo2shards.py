@@ -4,11 +4,13 @@ Mirror of /root/reference/infinicube/data_process/waymo2webdataset.py:87-766
 (run in the separate TF/waymo env, README/env.md): per segment, write one tar
 per attribute with members ``{frame:06d}.<ext>``:
 
-  pose (OpenCV cam-to-world npy), intrinsic (npy), image (png, orig + 480p),
-  pc (npz xyz/semantic/intensity), static_object_info / dynamic_object_info
+  pose / intrinsic (npy; front at {frame}.npy plus per-view
+  {frame}.{view}.npy for the other four cameras), image (png, same layout),
+  pc (npz xyz/semantic), static_object_info / dynamic_object_info
   (json; dynamic = inter-frame motion > 0.05 m, data_process.md:95),
-  dynamic_object_points_canonical (npz per object), map (npz per polyline
-  type), lidar (npz compressed)
+  dynamic_object_points_canonical (points.npz, clip-accumulated per-object
+  canonical points), map (npz per polyline type) and per-type
+  3d_{lane,road_edge,road_line} polyline tars
 
 The waymo-open-dataset/TF decode is isolated behind ``FrameSource`` so the
 sharding/writing logic runs (and is tested) without the Waymo env; node
@@ -43,6 +45,10 @@ class FrameRecord:
     # type -> list of [Ni, 3] world polylines (lane / road_edge / road_line);
     # populated on the first frame only (map features are per-segment)
     map_polylines: dict | None = None
+    # view name -> {"pose": [4,4] OpenCV cam-to-world, "intrinsic": [3,3],
+    # "image": [H,W,3] uint8 | None} for the side cameras (reference writes
+    # all five: front, front_left, front_right, side_left, side_right)
+    cameras: dict | None = None
 
 
 # ---------------------------------------------------------------------------
@@ -158,6 +164,8 @@ class WaymoTFRecordSource(FrameSource):
     geometry is the pure-numpy helpers above."""
 
     FRONT_CAMERA = 1   # dataset_pb2.CameraName.FRONT
+    CAMERA_NAMES = {1: "front", 2: "front_left", 3: "front_right",
+                    4: "side_left", 5: "side_right"}
     TOP_LIDAR = 1      # dataset_pb2.LaserName.TOP
 
     def __init__(self, segment_files: list[str]):
@@ -249,21 +257,29 @@ class WaymoTFRecordSource(FrameSource):
             vehicle_to_world = np.asarray(
                 frame.pose.transform).reshape(4, 4)
 
-            # front camera: pose (waymo cam frame is FLU) + intrinsics
-            calib = next(c for c in frame.context.camera_calibrations
-                         if c.name == self.FRONT_CAMERA)
-            cam_to_vehicle = np.asarray(
-                calib.extrinsic.transform).reshape(4, 4)
-            f_u, f_v, c_u, c_v = calib.intrinsic[:4]
-            K = np.array([[f_u, 0, c_u], [0, f_v, c_v], [0, 0, 1]])
-            cam_to_world = flu_to_opencv(vehicle_to_world @ cam_to_vehicle)
-
-            image = None
-            img_proto = next((im for im in frame.images
-                              if im.name == self.FRONT_CAMERA), None)
-            if img_proto is not None:
-                image = np.asarray(
-                    tf.io.decode_jpeg(img_proto.image).numpy())
+            # all five cameras: pose (waymo cam frame is FLU) + intrinsics
+            cameras = {}
+            for calib in frame.context.camera_calibrations:
+                view = self.CAMERA_NAMES.get(calib.name)
+                if view is None:
+                    continue
+                cam_to_vehicle = np.asarray(
+                    calib.extrinsic.transform).reshape(4, 4)
+                f_u, f_v, c_u, c_v = calib.intrinsic[:4]
+                Kv = np.array([[f_u, 0, c_u], [0, f_v, c_v], [0, 0, 1]])
+                img_proto = next((im for im in frame.images
+                                  if im.name == calib.name), None)
+                cameras[view] = {
+                    "pose": flu_to_opencv(
+                        vehicle_to_world @ cam_to_vehicle).astype(np.float32),
+                    "intrinsic": Kv.astype(np.float32),
+                    "image": None if img_proto is None else np.asarray(
+                        tf.io.decode_jpeg(img_proto.image).numpy()),
+                }
+            front = cameras.get("front", {})
+            cam_to_world = front.get("pose", np.eye(4, dtype=np.float32))
+            K = front.get("intrinsic", np.eye(3, dtype=np.float32))
+            image = front.get("image")
 
             pts_vehicle, sem = self._decode_lidar(frame, dataset_pb2)
             pts_world = pts_vehicle @ vehicle_to_world[:3, :3].T + \
@@ -293,7 +309,7 @@ class WaymoTFRecordSource(FrameSource):
                 intrinsic=K.astype(np.float32), image=image,
                 points=pts_world.astype(np.float32), point_semantics=sem,
                 objects=objects, map_points=map_pts,
-                map_polylines=map_polys)
+                map_polylines=map_polys, cameras=cameras)
 
 
 def classify_objects_dynamic(frames: list[FrameRecord]) -> set:
@@ -380,6 +396,19 @@ def convert_clip(source: FrameSource, clip_id: str, output_root: Path,
                 "npy", fr.intrinsic.astype(np.float32)))
             if write_images and fr.image is not None:
                 w("image").add(f"{key}.png", encode_member("png", fr.image))
+            # per-view members (reference writes all five cameras;
+            # WaymoClipDataset reads {frame}.{view}.<ext> when views are
+            # configured)
+            for view, cam in (fr.cameras or {}).items():
+                if view == "front":
+                    continue  # legacy members above are the front camera
+                w("pose").add(f"{key}.{view}.npy", encode_member(
+                    "npy", cam["pose"]))
+                w("intrinsic").add(f"{key}.{view}.npy", encode_member(
+                    "npy", cam["intrinsic"]))
+                if write_images and cam.get("image") is not None:
+                    w("image").add(f"{key}.{view}.png",
+                                   encode_member("png", cam["image"]))
             w("pc").add(f"{key}.npz", encode_member(
                 "npz", {"xyz": fr.points.astype(np.float32),
                         "semantic": fr.point_semantics.astype(np.int32)}))

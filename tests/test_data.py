@@ -261,3 +261,57 @@ def test_healthy_box_filter():
     lwhs = np.array([[4, 2, 1.5], [4, 2, 1.5], [4, 2, 1.5], [0, 2, 1.5]])
     ok = healthy_boxes(poses, lwhs, half)
     np.testing.assert_array_equal(ok, [True, False, False, False])
+
+
+def test_multiview_converter_and_dataset(tmp_path):
+    """convert_clip writes per-view pose/intrinsic/image members; the
+    dataset's views config consumes them with side-view padding."""
+    from infinicube_tpu.data_process.waymo2shards import (
+        FrameRecord, convert_clip)
+    from infinicube_tpu.data.tario import TarReader
+
+    rng = np.random.default_rng(0)
+    K = np.array([[60.0, 0, 40], [0, 60, 30], [0, 0, 1]], np.float32)
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = np.array([[0, 0, 1], [-1, 0, 0], [0, -1, 0]]).T
+    T[:3, 3] = [0, 0, 1.5]
+    frames = []
+    for f in range(2):
+        cams = {}
+        for view, h in (("front", 60), ("front_left", 60),
+                        ("side_left", 40)):  # side views are shorter
+            cams[view] = {
+                "pose": T, "intrinsic": K,
+                "image": rng.integers(0, 255, (h, 80, 3)).astype(np.uint8)}
+        frames.append(FrameRecord(
+            index=f, cam_to_world_opencv=T, intrinsic=K,
+            image=cams["front"]["image"],
+            points=rng.uniform(-20, 20, (400, 3)).astype(np.float32),
+            point_semantics=np.zeros(400, np.int32),
+            objects={}, map_points={}, map_polylines={}, cameras=cams))
+
+    class Src:
+        def clips(self):
+            return ["mv0"]
+
+        def frames(self, cid):
+            return frames
+
+    convert_clip(Src(), "mv0", tmp_path)
+    with TarReader(tmp_path / "pose" / "mv0.tar") as r:
+        names = set(r.names())
+    assert "000000.npy" in names                       # legacy front
+    assert "000000.front_left.npy" in names
+    assert "000000.side_left.npy" in names
+
+    from infinicube_tpu.data.waymo_dataset import (
+        WaymoClipDataset, WaymoDatasetConfig)
+    cfg = WaymoDatasetConfig(root=str(tmp_path), frame_start=0, frame_end=1,
+                             samples_per_shard=1,
+                             views=("front", "front_left", "side_left"))
+    s = next(iter(WaymoClipDataset(cfg)))
+    imgs = s[DatasetSpec.IMAGES_INPUT]
+    masks = s[DatasetSpec.IMAGES_INPUT_MASK]
+    assert imgs.shape == (3, 60, 80, 3)                # side view padded
+    assert masks[2, 40:, :, 2].max() == 0.0            # padding mask ch2
+    assert masks[0, :, :, 2].min() == 1.0
