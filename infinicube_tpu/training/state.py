@@ -31,6 +31,10 @@ class TrainConfig:
     grad_clip_value: float = 0.5        # clip-by-value (base_model.py:246)
     ema_decay: float = 0.9999
     use_ema: bool = True
+    # finetune only the params whose tree path contains one of these
+    # substrings (the reference's turn_on_decoder decoder-only finetune,
+    # sunet.py:675-705); None = train everything
+    trainable_substrings: tuple | None = None
 
 
 @jax.tree_util.register_dataclass
@@ -59,10 +63,22 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
             cfg.lr_decay_mult, step // cfg.lr_decay_step)
         return jnp.maximum(lr, cfg.lr_clip)
 
-    return optax.chain(
+    tx = optax.chain(
         optax.clip(cfg.grad_clip_value),
         optax.adamw(lr_schedule, weight_decay=cfg.weight_decay,
                     b1=0.9, b2=0.999))
+    if cfg.trainable_substrings:
+        subs = tuple(cfg.trainable_substrings)
+
+        def label(params):
+            def rec(path, x):
+                p = "/".join(str(getattr(k, "key", k)) for k in path)
+                return "train" if any(s in p for s in subs) else "freeze"
+            return jax.tree_util.tree_map_with_path(rec, params)
+
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()}, label)
+    return tx
 
 
 def make_train_step(cfg: TrainConfig,

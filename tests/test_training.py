@@ -170,3 +170,23 @@ def test_default_val_fn_and_topk_monitor(tmp_path):
     # top-k retention kept a checkpoint
     mgr = CheckpointManager(str(tmp_path / "ck"), 1, 20, monitor="val_loss")
     assert mgr.latest_step() is not None
+
+
+def test_trainable_substrings_freeze():
+    """TrainConfig.trainable_substrings finetunes only matching params
+    (reference turn_on_decoder decoder-only finetune, sunet.py:675-705)."""
+    params = {"enc": {"w": jnp.ones(3)}, "dec": {"w": jnp.ones(3)}}
+
+    def loss_fn(p, rng, batch):
+        out = batch @ (p["enc"]["w"] + p["dec"]["w"])
+        return jnp.mean(out ** 2), {}
+
+    tc = TrainConfig(learning_rate=0.1, use_ema=False,
+                     trainable_substrings=("dec",))
+    state = TrainState.create(tc, params)
+    step = jax.jit(make_train_step(tc, loss_fn))
+    state, _ = step(state, jax.random.PRNGKey(0),
+                    jnp.ones((4, 3), jnp.float32))
+    np.testing.assert_array_equal(np.asarray(state.params["enc"]["w"]),
+                                  np.ones(3))          # frozen
+    assert np.abs(np.asarray(state.params["dec"]["w"]) - 1).max() > 1e-4
