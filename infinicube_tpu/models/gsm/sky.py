@@ -41,6 +41,9 @@ class SkyConfig:
     num_heads: int = 4
     patch: int = 8
     sky_ratio_threshold: float = 0.75
+    max_sky_tokens: int = 1024         # top-K sky patches kept (reference
+    # selects ratio>0.75 patches only, skybox_mlp_modulator.py:109-450;
+    # full attention over every patch of 3 high-res views is O(N^2) memory)
     pano_hw: tuple = (128, 256)
     dtype: Any = jnp.float32
 
@@ -62,8 +65,14 @@ class SkyboxMlpModulator(nn.Module):
                     name="patch_embed")(x)                  # [V, ph, pw, E]
         ratio = nn.avg_pool(sky_mask[..., None].astype(jnp.float32),
                             (p, p), strides=(p, p))[..., 0]
-        keep = (ratio > cfg.sky_ratio_threshold).reshape(1, -1)
-        tokens = x.reshape(1, -1, cfg.embed_dim)
+        ratio_flat = ratio.reshape(-1)
+        tokens = x.reshape(-1, cfg.embed_dim)
+        # keep only the top-K skyest patches (capacity-compacted token set:
+        # the reference embeds the ratio>threshold patches only)
+        K = min(cfg.max_sky_tokens, tokens.shape[0])
+        top_ratio, top_idx = jax.lax.top_k(ratio_flat, K)
+        tokens = tokens[top_idx][None]                      # [1, K, E]
+        keep = (top_ratio > cfg.sky_ratio_threshold)[None]  # [1, K]
         query = self.param("sky_query", nn.initializers.normal(0.02),
                            (1, 1, cfg.embed_dim))
         seq = jnp.concatenate([query, tokens], axis=1)

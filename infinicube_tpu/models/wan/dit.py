@@ -23,7 +23,6 @@ with CPU offload):
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Any
 
 import flax.linen as nn

@@ -11,7 +11,6 @@ skipped with ``jnp.where`` (no host sync), EMA updates fuse into the step."""
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Callable
 
 import jax

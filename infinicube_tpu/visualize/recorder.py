@@ -17,7 +17,7 @@ from pathlib import Path
 import numpy as np
 
 from infinicube_tpu.utils.interpolate import (
-    inter_poses, interpolate_two_poses, quat_to_rot, rot_to_quat)
+    inter_poses, interpolate_two_poses, quat_to_rot)
 
 
 def pose_from_wxyz_position(wxyz, position) -> np.ndarray:
