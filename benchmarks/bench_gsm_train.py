@@ -13,7 +13,8 @@ import numpy as np
 
 from infinicube_tpu.grid.build import grid_from_points
 from infinicube_tpu.models.gsm.loss import GSMLossConfig, gsm_loss
-from infinicube_tpu.models.gsm.model import GSM, GSMConfig
+from infinicube_tpu.models.gsm.model import (GSM, GSMConfig,
+    gsm_bf16_config)
 from infinicube_tpu.training.state import (
     TrainConfig, TrainState, make_train_step)
 
@@ -49,7 +50,9 @@ batch = {
     "cam_to_worlds": jnp.asarray(T),
     "depth_prior": jnp.zeros((V, h, w, 1)),
 }
-model = GSM(GSMConfig())
+import os
+model = GSM(gsm_bf16_config()
+            if os.environ.get('GSM_BF16', '1') == '1' else GSMConfig())
 params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
 npar = sum(x.size for x in jax.tree.leaves(params))
 print(f"GSM params: {npar/1e6:.1f}M; voxels "

@@ -44,6 +44,24 @@ class GSMConfig:
     dense_dims: tuple = (128, 64, 32)     # raycast crop of the scene grid
     dense_ijk_min: tuple = (-16, -32, -8)
     render_tile_capacity: int = 256
+    # rasterizer tiling (measured on v5e at 3.3M gaussians: (16, 4) beats
+    # (32, 2) — compositing scales with tile^2 x capacity, the sort does not
+    # dominate)
+    render_tile: int = 16
+    render_span: int = 4
+
+
+def gsm_bf16_config(cfg: GSMConfig | None = None) -> GSMConfig:
+    """bf16 compute in every branch (params stay f32; norms/softmax f32) —
+    the TPU training configuration (image-scale convs dominate the forward;
+    bf16 halves their time and memory)."""
+    import dataclasses as _dc
+    cfg = cfg or GSMConfig()
+    return _dc.replace(
+        cfg,
+        voxel=_dc.replace(cfg.voxel, dtype=jnp.bfloat16),
+        pixel=_dc.replace(cfg.pixel, dtype=jnp.bfloat16),
+        sky=_dc.replace(cfg.sky, dtype=jnp.bfloat16))
 
 
 class GSM(nn.Module):
@@ -169,7 +187,9 @@ class GSM(nn.Module):
 
         render = render_views(gaussians, t_Ks, t_poses, hw,
                               sky_images=sky_images,
-                              tile_capacity=cfg.render_tile_capacity)
+                              tile_capacity=cfg.render_tile_capacity,
+                              tile=cfg.render_tile,
+                              max_span=cfg.render_span)
         return {"gaussians": gaussians, "render": render,
                 "sky_token": token, "sky_mask": sky_mask,
                 "effective_mask": eff_mask}

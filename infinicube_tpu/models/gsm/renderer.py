@@ -35,7 +35,8 @@ def merge_gaussians(*sets):
 def render_views(gaussians: dict, Ks: jnp.ndarray, cam_to_worlds: jnp.ndarray,
                  image_hw: tuple[int, int],
                  sky_images: jnp.ndarray | None = None,
-                 tile_capacity: int = 256):
+                 tile_capacity: int = 256, tile: int = 16,
+                 max_span: int = 4):
     """gaussians: flat dict; Ks [V, 3, 3]; cam_to_worlds [V, 4, 4];
     sky_images f32[V, H, W, 3] precomputed backgrounds (flax params cannot be
     created inside the mapped body, so the sky is sampled by the caller).
@@ -57,6 +58,7 @@ def render_views(gaussians: dict, Ks: jnp.ndarray, cam_to_worlds: jnp.ndarray,
                               gaussians["scales"], viewmat, K, image_hw)
         p = p._replace(valid=p.valid & gaussians["valid"])
         color, alpha, depth = rasterize(p, op, gaussians["colors"], image_hw,
+                                        tile=tile, max_span=max_span,
                                         tile_capacity=tile_capacity)
         color = color + (1.0 - alpha)[..., None] * sky
         return color, alpha, depth
