@@ -270,6 +270,49 @@ def _packed_splat(flat_px, z, slot, ok, h, w):
     return buf
 
 
+@partial(jax.jit, static_argnames=("image_hw",))
+def splat_winner_slots(points: jnp.ndarray, valid: jnp.ndarray,
+                       radius_world: jnp.ndarray, K: jnp.ndarray,
+                       cam_to_world: jnp.ndarray,
+                       image_hw: tuple[int, int]):
+    """Project points and resolve the front-most point per pixel via the
+    packed scatter-min (the z-buffer core of splat_frame, shared with the
+    GSM lifter/visibility fast path). Returns (win_slot int32[h, w] with -1
+    at misses, zdepth f32[h, w])."""
+    h, w = image_hw
+    C = points.shape[0]
+    uv, z, vis = proj.project_points(points, cam_to_world, K, image_hw)
+    vis = vis & valid & (z > 0.05)
+    px = jnp.round(uv[:, 0]).astype(jnp.int32)
+    py = jnp.round(uv[:, 1]).astype(jnp.int32)
+    inside = (px >= 0) & (px < w) & (py >= 0) & (py < h)
+    ok = vis & inside
+    slot = jnp.arange(C, dtype=jnp.int32)
+    buf = _packed_splat(py * w + px, z, slot, ok, h, w)
+    r_px = jnp.where(ok, K[0, 0] * radius_world / jnp.maximum(z, 1e-3), 0.0)
+    near_rank = jnp.argsort(-r_px)[:_NEAR_CAP]
+    n_ok = ok[near_rank] & (r_px[near_rank] > 0.75)
+    taps = jnp.arange(-_STENCIL, _STENCIL + 1)
+    du, dv = jnp.meshgrid(taps, taps, indexing="ij")
+    du = du.reshape(-1)
+    dv = dv.reshape(-1)
+    S = du.shape[0]
+    ix = px[near_rank][:, None] + du[None]
+    iy = py[near_rank][:, None] + dv[None]
+    infoot = (jnp.abs(du[None]) <= r_px[near_rank][:, None] + 0.5) & \
+        (jnp.abs(dv[None]) <= r_px[near_rank][:, None] + 0.5)
+    n_ok2 = n_ok[:, None] & infoot & (ix >= 0) & (ix < w) & (iy >= 0) & \
+        (iy < h)
+    buf_near = _packed_splat(
+        (iy * w + ix).reshape(-1), jnp.repeat(z[near_rank], S),
+        jnp.repeat(near_rank.astype(jnp.int32), S), n_ok2.reshape(-1), h, w)
+    buf = jnp.minimum(buf, buf_near)
+    hit = buf != jnp.int32((1 << 31) - 1)
+    win = jnp.where(hit, jnp.clip(buf & ((1 << 20) - 1), 0, C - 1), -1)
+    zd = jnp.where(hit, z[jnp.clip(win, 0)], 0.0)
+    return win.reshape(h, w), zd.reshape(h, w)
+
+
 @partial(jax.jit, static_argnames=("image_hw", "fill_iters"))
 def splat_frame(points: jnp.ndarray, attrs: jnp.ndarray, valid: jnp.ndarray,
                 radius_world: jnp.ndarray, K: jnp.ndarray,

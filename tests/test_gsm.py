@@ -180,3 +180,44 @@ def test_plucker_encoder_kind():
     out2 = enc.apply(p, imgs, masks, Ks, poses2)
     assert float(jnp.abs(out2["features"][0, 1] -
                          out["features"][0, 1]).max()) > 0
+
+
+def test_lifter_splat_vs_dda_agree():
+    """The packed-splat fast path approximates the exact DDA first-hit
+    lift/visibility on a surface scene (front-voxel winners match on most
+    pixels; visible sets strongly overlap)."""
+    import numpy as np
+    from infinicube_tpu.grid.build import grid_from_points
+    from infinicube_tpu.models.gsm.lifter import (lift_features,
+                                                  visible_voxel_mask)
+    rng = np.random.default_rng(0)
+    n = 4000
+    # thin ground sheet + a wall: crisp surfaces where "front voxel per
+    # ray" is well defined for both implementations
+    ground = np.stack([rng.uniform(4, 18, n // 2), rng.uniform(-5, 5, n // 2),
+                       np.zeros(n // 2)], -1)
+    wall = np.stack([np.full(n - n // 2, 15.0),
+                     rng.uniform(-5, 5, n - n // 2),
+                     rng.uniform(0, 4, n - n // 2)], -1)
+    pts = np.concatenate([ground, wall]).astype(np.float32)
+    g = grid_from_points(jnp.asarray(pts)[None], jnp.ones((1, n), bool),
+                         0.4, 0.2, capacity=4096)
+    K = jnp.asarray([[60.0, 0, 48], [0, 60, 32], [0, 0, 1]])
+    T = jnp.asarray(np.array([[0, 0, 1, 0], [-1, 0, 0, 0],
+                              [0, -1, 0, 1.5], [0, 0, 0, 1]], np.float32))
+    feats = jnp.ones((1, 64, 96, 8))
+    args = (g, jnp.asarray(K)[None], T[None], (-16, -32, -8), (64, 64, 32))
+    vis_s = visible_voxel_mask(*args, impl="splat")
+    vis_d = visible_voxel_mask(*args, impl="dda")
+    inter = float(jnp.sum(vis_s & vis_d))
+    smaller = float(min(jnp.sum(vis_s), jnp.sum(vis_d)))
+    # the two define "front voxel" differently (first intersected cell vs
+    # nearest projected center); require strong containment of the smaller
+    # set rather than IoU
+    assert inter / max(smaller, 1.0) > 0.6, (inter, smaller)
+    lf_s = lift_features(g, feats, *args[1:], impl="splat")
+    lf_d = lift_features(g, feats, *args[1:], impl="dda")
+    got_s = jnp.any(lf_s[0] != 0, -1)
+    got_d = jnp.any(lf_d[0] != 0, -1)
+    inter = float(jnp.sum(got_s & got_d))
+    assert inter / max(float(jnp.sum(got_d)), 1.0) > 0.5
