@@ -105,13 +105,27 @@ def visible_voxel_mask(grid: Grid, Ks: jnp.ndarray, cam_to_worlds: jnp.ndarray,
 
 
 def voxel_depth_prior(grid: Grid, Ks: jnp.ndarray, cam_to_worlds: jnp.ndarray,
-                      ijk_min, dense_dims, image_hw) -> jnp.ndarray:
+                      ijk_min, dense_dims, image_hw,
+                      impl: str = "splat") -> jnp.ndarray:
     """Per-view z-depth rendered from the voxel grid — the pixel branch's
     ``voxel_depth`` prior (reference dav2_encoder.get_voxel_depth:35-155 /
     gsm voxel_preprocess). Returns f32[V, H, W, 1] (0 = no hit)."""
+    h, w = image_hw
+    if impl == "splat":
+        from infinicube_tpu.utils.buffers import splat_winner_slots
+        centers = grid.voxel_centers()[0]
+        radius = jnp.broadcast_to(0.5 * jnp.max(grid.voxel_size),
+                                  (grid.capacity,))
+
+        def per_view(K, pose):
+            _, zd = splat_winner_slots(centers, grid.mask[0], radius, K,
+                                       pose, image_hw)
+            return zd[..., None]
+
+        return jax.vmap(per_view)(Ks, cam_to_worlds)
+
     occ = occupancy_dense(grid, ijk_min, dense_dims)[0]
     skip = manhattan_distance_transform(occ)
-    h, w = image_hw
 
     def per_view(K, pose):
         ro, rd = proj.posed_rays_from_intrinsics(K, pose, image_hw)
