@@ -51,8 +51,12 @@ batch = {
     "depth_prior": jnp.zeros((V, h, w, 1)),
 }
 import os
-model = GSM(gsm_bf16_config()
-            if os.environ.get('GSM_BF16', '1') == '1' else GSMConfig())
+import dataclasses as _dc
+cfg0 = gsm_bf16_config() if os.environ.get('GSM_BF16', '1') == '1' \
+    else GSMConfig()
+if os.environ.get('GSM_NO_REMAT'):
+    cfg0 = _dc.replace(cfg0, render_remat=False)
+model = GSM(cfg0)
 params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
 npar = sum(x.size for x in jax.tree.leaves(params))
 print(f"GSM params: {npar/1e6:.1f}M; voxels "

@@ -49,6 +49,7 @@ class GSMConfig:
     # dominate)
     render_tile: int = 16
     render_span: int = 4
+    render_remat: bool = True     # recompute per-view renders in backward
 
 
 def gsm_bf16_config(cfg: GSMConfig | None = None) -> GSMConfig:
@@ -189,7 +190,8 @@ class GSM(nn.Module):
                               sky_images=sky_images,
                               tile_capacity=cfg.render_tile_capacity,
                               tile=cfg.render_tile,
-                              max_span=cfg.render_span)
+                              max_span=cfg.render_span,
+                              remat=cfg.render_remat)
         return {"gaussians": gaussians, "render": render,
                 "sky_token": token, "sky_mask": sky_mask,
                 "effective_mask": eff_mask}

@@ -36,7 +36,7 @@ def render_views(gaussians: dict, Ks: jnp.ndarray, cam_to_worlds: jnp.ndarray,
                  image_hw: tuple[int, int],
                  sky_images: jnp.ndarray | None = None,
                  tile_capacity: int = 256, tile: int = 16,
-                 max_span: int = 4):
+                 max_span: int = 4, remat: bool = True):
     """gaussians: flat dict; Ks [V, 3, 3]; cam_to_worlds [V, 4, 4];
     sky_images f32[V, H, W, 3] precomputed backgrounds (flax params cannot be
     created inside the mapped body, so the sky is sampled by the caller).
@@ -50,7 +50,6 @@ def render_views(gaussians: dict, Ks: jnp.ndarray, cam_to_worlds: jnp.ndarray,
     # with pathological (.., 3, 2) tile padding at ~3M gaussians); with it
     # each view's forward recomputes during backward — measured the
     # difference between OOM (51 GB) and fitting in HBM at 3 views 480p
-    @jax.checkpoint
     def one_view(args):
         K, pose, sky = args
         viewmat = invert_pose(pose)
@@ -63,5 +62,7 @@ def render_views(gaussians: dict, Ks: jnp.ndarray, cam_to_worlds: jnp.ndarray,
         color = color + (1.0 - alpha)[..., None] * sky
         return color, alpha, depth
 
+    if remat:
+        one_view = jax.checkpoint(one_view)
     rgb, alpha, depth = jax.lax.map(one_view, (Ks, cam_to_worlds, sky_images))
     return {"rgb": rgb, "alpha": alpha, "depth": depth}
