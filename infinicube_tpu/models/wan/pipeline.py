@@ -173,9 +173,10 @@ class WanVideoGenerator:
                           guidance_scale if guidance_scale is not None
                           else cfg.guidance_scale)
         if tiled:
-            video = self.vae.apply(params["vae"], z,
-                                   method=VideoVAE.decode_tiled)
-        else:
-            video = self.vae.apply(params["vae"], z, method=VideoVAE.decode)
+            from infinicube_tpu.models.wan.vae3d import decode_tiled_host
+            # uint8 leaves the device once (host links can be slow)
+            return decode_tiled_host(self.vae, params["vae"], z,
+                                     to_uint8=True)[0]
+        video = self.vae.apply(params["vae"], z, method=VideoVAE.decode)
         video = np.asarray(jax.device_get(video[0]))
         return ((video * 0.5 + 0.5).clip(0, 1) * 255).astype(np.uint8)

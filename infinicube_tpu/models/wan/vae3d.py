@@ -31,6 +31,7 @@ mirroring the reference's ``tiled=True`` (inference.py:171).
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Any, Sequence
 
 import flax.linen as nn
@@ -329,8 +330,12 @@ class VideoVAE(nn.Module):
 
     def decode_tiled(self, z, tile: int = 32, overlap: int = 4):
         """Spatially tiled decode with linear blending (the reference's
-        tiled=True VRAM path, videogen/inference.py:171). Host-level loop —
-        each tile decode is one jitted call."""
+        tiled=True VRAM path, videogen/inference.py:171).
+
+        NOTE: as a module method this traces EVERY tile into one program
+        (all tile buffers live at once -> tens of GB at 93f 480p). For
+        serving use the module-level ``decode_tiled_host`` below, which
+        compiles ONE fixed-shape tile decode and blends on the host."""
         B, T, H, W, C = z.shape
         scale = self.cfg.spatial_scale
         t_out = 1 + self.cfg.temporal_scale * (T - 1)
@@ -361,3 +366,59 @@ def _blend_profile(n: int, ramp: int) -> jnp.ndarray:
         ramp_up = (jnp.arange(r) + 1.0) / (r + 1.0)
         w = w.at[:r].set(ramp_up).at[-r:].set(ramp_up[::-1])
     return w
+
+
+def decode_tiled_host(vae: "VideoVAE", params, z, tile=(64, 32),
+                      overlap: int = 4, to_uint8: bool = False):
+    """Serving-path tiled decode: ONE jitted fixed-shape tile decode
+    (z is edge-padded so every tile has the same latent extent); blending
+    accumulates ON DEVICE into a donated bf16 canvas — peak activation
+    memory is a single tile's (~tile^2/(H*W) of the full-frame decode, which
+    needs ~20 GB at 93f 480p), and the video crosses to the host ONCE
+    (as uint8 when ``to_uint8`` — the axon tunnel moves ~28 MB/s, so
+    per-tile f32 readback costs more than the decode itself)."""
+    import numpy as _np
+
+    B, T, H, W, C = z.shape
+    th, tw = (tile, tile) if isinstance(tile, int) else tile
+    th, tw = min(th, H + overlap), min(tw, W + overlap)
+    scale = vae.cfg.spatial_scale
+    t_out = 1 + vae.cfg.temporal_scale * (T - 1)
+    ys = list(range(0, max(H - overlap, 1), th - overlap))
+    xs = list(range(0, max(W - overlap, 1), tw - overlap))
+    pad_h = ys[-1] + th - H
+    pad_w = xs[-1] + tw - W
+    Hp, Wp = (ys[-1] + th) * scale, (xs[-1] + tw) * scale
+    zp = jnp.pad(z, ((0, 0), (0, 0), (0, max(pad_h, 0)),
+                     (0, max(pad_w, 0)), (0, 0)), mode="edge")
+
+    wy = _blend_profile(th * scale, overlap * scale)
+    wx = _blend_profile(tw * scale, overlap * scale)
+    wgt = (wy[:, None] * wx[None, :])[None, None, :, :, None]
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def upd(out, acc, p, zt, oy, ox):
+        d = vae.apply(p, zt, method=VideoVAE.decode)
+        cur = jax.lax.dynamic_slice(
+            out, (0, 0, oy, ox, 0), (B, t_out, th * scale, tw * scale, 3))
+        out = jax.lax.dynamic_update_slice(
+            out, cur + (d * wgt).astype(out.dtype), (0, 0, oy, ox, 0))
+        ca = jax.lax.dynamic_slice(
+            acc, (0, 0, oy, ox, 0), (1, 1, th * scale, tw * scale, 1))
+        acc = jax.lax.dynamic_update_slice(
+            acc, ca + wgt.astype(acc.dtype), (0, 0, oy, ox, 0))
+        return out, acc
+
+    out = jnp.zeros((B, t_out, Hp, Wp, 3), jnp.float32)
+    acc = jnp.zeros((1, 1, Hp, Wp, 1), jnp.float32)
+    for i0 in ys:
+        for j0 in xs:
+            out, acc = upd(out, acc, params,
+                           zp[:, :, i0:i0 + th, j0:j0 + tw],
+                           i0 * scale, j0 * scale)
+    final = out[:, :, :H * scale, :W * scale] / \
+        jnp.maximum(acc[:, :, :H * scale, :W * scale], 1e-6)
+    if to_uint8:
+        final = jnp.clip(final * 0.5 + 0.5, 0, 1) * 255
+        return _np.asarray(jax.device_get(final.astype(jnp.uint8)))
+    return _np.asarray(jax.device_get(final))
