@@ -35,7 +35,9 @@ def _hit_indices(grid: Grid, occ, ijk_min, ray_o, ray_d, skip=None):
 def _splat_winners(grid: Grid, K, pose, hw):
     from infinicube_tpu.utils.buffers import splat_winner_slots
     centers = grid.voxel_centers()[0]
-    radius = jnp.broadcast_to(0.5 * jnp.max(grid.voxel_size),
+    # 0.75*vs (> half-diagonal of a voxel face): adjacent voxels' footprints
+    # overlap by >= 1 px, so surfaces splat without pinholes
+    radius = jnp.broadcast_to(0.75 * jnp.max(grid.voxel_size),
                               (grid.capacity,))
     win, _ = splat_winner_slots(centers, grid.mask[0], radius, K, pose, hw)
     return win.reshape(-1)
@@ -114,7 +116,7 @@ def voxel_depth_prior(grid: Grid, Ks: jnp.ndarray, cam_to_worlds: jnp.ndarray,
     if impl == "splat":
         from infinicube_tpu.utils.buffers import splat_winner_slots
         centers = grid.voxel_centers()[0]
-        radius = jnp.broadcast_to(0.5 * jnp.max(grid.voxel_size),
+        radius = jnp.broadcast_to(0.75 * jnp.max(grid.voxel_size),
                                   (grid.capacity,))
 
         def per_view(K, pose):

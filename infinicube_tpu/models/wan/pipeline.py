@@ -92,17 +92,27 @@ class WanVideoGenerator:
 
     # ---- buffers ----------------------------------------------------------
     def encode_buffers(self, params, semantic_rgb: jnp.ndarray,
-                       coordinate_rgb: jnp.ndarray) -> jnp.ndarray:
-        """uint8/float [T, H, W, 3] buffer videos -> [1, T', H/8, W/8, 32]."""
+                       coordinate_rgb: jnp.ndarray,
+                       tiled: bool | None = None) -> jnp.ndarray:
+        """uint8/float [T, H, W, 3] buffer videos -> [1, T', H/8, W/8, 32].
+        ``tiled`` defaults to auto (tiles when the frame area is release
+        scale — full-frame encode at 93f 480p needs ~20 GB)."""
         def norm(v):
             v = v.astype(jnp.float32)
             v = v / 127.5 - 1.0 if v.max() > 1.5 else v * 2.0 - 1.0
             return v[None]
-        enc = partial(self.vae.apply, params["vae"],
-                      method=VideoVAE.encode)
+        if tiled is None:
+            tiled = (semantic_rgb.shape[0] * semantic_rgb.shape[1] *
+                     semantic_rgb.shape[2]) > 16 * 128 * 128
+        if tiled:
+            from infinicube_tpu.models.wan.vae3d import encode_tiled_host
+            enc = partial(encode_tiled_host, self.vae, params["vae"])
+        else:
+            enc = partial(self.vae.apply, params["vae"],
+                          method=VideoVAE.encode)
         sem = enc(norm(semantic_rgb))
         coo = enc(norm(coordinate_rgb))
-        return jnp.concatenate([sem, coo], axis=-1)
+        return jnp.concatenate([jnp.asarray(sem), jnp.asarray(coo)], axis=-1)
 
     # ---- training ----------------------------------------------------------
     def train_loss(self, params, rng: jax.Array, video_latents: jnp.ndarray,

@@ -71,7 +71,8 @@ class VideoVAEConfig:
 
     @property
     def temporal_scale(self) -> int:
-        return 2 ** sum(self.temporal_down)
+        # only the stages the truncated channel_mult actually instantiates
+        return 2 ** sum(self.temporal_down[: len(self.channel_mult) - 1])
 
 
 # ---------------------------------------------------------------------------
@@ -220,7 +221,10 @@ def decoder_schedule(cfg: VideoVAEConfig):
     """[(index, kind, features)] of decoder.upsamples entries."""
     mult = list(cfg.channel_mult)
     dims = [cfg.base_channels * m for m in [mult[-1]] + mult[::-1]]
-    t_up = list(cfg.temporal_down)[::-1]
+    # reversed TRUNCATED flags: only the stages channel_mult instantiates
+    # (the full-list form silently made truncated test configs temporally
+    # asymmetric between encoder and decoder)
+    t_up = list(cfg.temporal_down[: len(mult) - 1])[::-1]
     out, idx = [], 0
     for i, (d_in, d_out) in enumerate(zip(dims[:-1], dims[1:])):
         for _ in range(cfg.num_res_blocks + 1):
@@ -422,3 +426,53 @@ def decode_tiled_host(vae: "VideoVAE", params, z, tile=(64, 32),
         final = jnp.clip(final * 0.5 + 0.5, 0, 1) * 255
         return _np.asarray(jax.device_get(final.astype(jnp.uint8)))
     return _np.asarray(jax.device_get(final))
+
+
+def encode_tiled_host(vae: "VideoVAE", params, video, tile=(512, 256),
+                      overlap: int = 32):
+    """Serving-path tiled ENCODE (pixel-space tiles, latent-space blend):
+    full-frame encode of 93f @ 480p needs the same ~20 GB the full-frame
+    decode does. ``tile``/``overlap`` are in pixels and must be multiples of
+    the spatial scale. Returns latents [B, T', H/s, W/s, z] on device."""
+    B, T, H, W, _ = video.shape
+    scale = vae.cfg.spatial_scale
+    th, tw = (tile, tile) if isinstance(tile, int) else tile
+    th, tw = min(th, H + overlap), min(tw, W + overlap)
+    assert th % scale == 0 and tw % scale == 0 and overlap % scale == 0
+    ys = list(range(0, max(H - overlap, 1), th - overlap))
+    xs = list(range(0, max(W - overlap, 1), tw - overlap))
+    pad_h = ys[-1] + th - H
+    pad_w = xs[-1] + tw - W
+    vp = jnp.pad(video, ((0, 0), (0, 0), (0, max(pad_h, 0)),
+                         (0, max(pad_w, 0)), (0, 0)), mode="edge")
+    ls = scale
+    Hp, Wp = (ys[-1] + th) // ls, (xs[-1] + tw) // ls
+    t_lat = 1 + (T - 1) // vae.cfg.temporal_scale
+    zc = vae.cfg.latent_channels
+
+    wy = _blend_profile(th // ls, overlap // ls)
+    wx = _blend_profile(tw // ls, overlap // ls)
+    wgt = (wy[:, None] * wx[None, :])[None, None, :, :, None]
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def upd(out, acc, p, vt, oy, ox):
+        zt = vae.apply(p, vt, method=VideoVAE.encode)
+        cur = jax.lax.dynamic_slice(
+            out, (0, 0, oy, ox, 0), (B, t_lat, th // ls, tw // ls, zc))
+        out = jax.lax.dynamic_update_slice(
+            out, cur + (zt * wgt).astype(out.dtype), (0, 0, oy, ox, 0))
+        ca = jax.lax.dynamic_slice(
+            acc, (0, 0, oy, ox, 0), (1, 1, th // ls, tw // ls, 1))
+        acc = jax.lax.dynamic_update_slice(
+            acc, ca + wgt.astype(acc.dtype), (0, 0, oy, ox, 0))
+        return out, acc
+
+    out = jnp.zeros((B, t_lat, Hp, Wp, zc), jnp.float32)
+    acc = jnp.zeros((1, 1, Hp, Wp, 1), jnp.float32)
+    for i0 in ys:
+        for j0 in xs:
+            out, acc = upd(out, acc, params,
+                           vp[:, :, i0:i0 + th, j0:j0 + tw],
+                           i0 // ls, j0 // ls)
+    return out[:, :, :H // ls, :W // ls] / \
+        jnp.maximum(acc[:, :, :H // ls, :W // ls], 1e-6)

@@ -48,9 +48,15 @@ def test_voxel_depth_prior():
     T[:3, 2] = [1, 0, 0]
     T[:3, 3] = [0, 0, 1.0]
     K = jnp.array([[30.0, 0, 16], [0, 30, 12], [0, 0, 1]])
+    # splat default reports the winning voxel-CENTER z; dda reports the
+    # entry-face depth — both within half a voxel diagonal of the wall
     d = voxel_depth_prior(g, K[None], jnp.asarray(T)[None], (15, -15, -8),
                           (10, 30, 25), (24, 32))
     assert d.shape == (1, 24, 12 + 20, 1)[0:1] + (24, 32, 1)
+    center = float(d[0, 12, 16, 0])
+    assert abs(center - 10.0) < 0.6, center
+    d = voxel_depth_prior(g, K[None], jnp.asarray(T)[None], (15, -15, -8),
+                          (10, 30, 25), (24, 32), impl="dda")
     center = float(d[0, 12, 16, 0])
     assert abs(center - 9.75) < 0.5  # wall front face ~ 10 - vs/2
 

@@ -156,3 +156,37 @@ def test_dit_scan_layers_variant():
     # params carry a stacked layer axis
     leaf = jax.tree.leaves(params["params"]["blocks"])[0]
     assert leaf.shape[0] == cfg.num_layers
+
+
+def test_tiled_encode_decode_match_full():
+    """encode_tiled_host / decode_tiled_host approximate the full-frame
+    paths (blend seams within tolerance) on a small clip."""
+    import numpy as np
+    from infinicube_tpu.models.wan.vae3d import (
+        VideoVAE, VideoVAEConfig, decode_tiled_host, encode_tiled_host)
+    cfg = VideoVAEConfig(latent_channels=4, base_channels=8,
+                         channel_mult=(1, 2), num_res_blocks=1)
+    vae = VideoVAE(cfg)
+    rng = np.random.default_rng(0)
+    video = jnp.asarray(rng.uniform(-1, 1, (1, 5, 32, 48, 3)),
+                        jnp.float32)
+    params = vae.init(jax.random.PRNGKey(0), video)
+    z_full = vae.apply(params, video, method=VideoVAE.encode)
+    z_tiled = encode_tiled_host(vae, params, video, tile=(24, 24), overlap=8)
+    assert z_tiled.shape == z_full.shape
+    # tiling truncates receptive fields at seams, so exact equality is
+    # impossible; require strong correlation with the full-frame encode
+    a = np.asarray(z_tiled).ravel()
+    b = np.asarray(z_full).ravel()
+    corr = np.corrcoef(a, b)[0, 1]
+    # random weights + 3-latent-cell tiles maximize seam truncation; real
+    # 256-px serving tiles are far gentler
+    assert corr > 0.8, corr
+
+    dec_full = vae.apply(params, z_full, method=VideoVAE.decode)
+    dec_tiled = decode_tiled_host(vae, params, z_full, tile=(12, 12),
+                                  overlap=4)
+    a = np.asarray(dec_tiled).ravel()
+    b = np.asarray(dec_full).ravel()
+    corr = np.corrcoef(a, b)[0, 1]
+    assert corr > 0.8, corr
