@@ -332,33 +332,6 @@ class VideoVAE(nn.Module):
             z = z * std + mean
         return self.decoder(self.post_quant_conv(z.astype(jnp.float32)))
 
-    def decode_tiled(self, z, tile: int = 32, overlap: int = 4):
-        """Spatially tiled decode with linear blending (the reference's
-        tiled=True VRAM path, videogen/inference.py:171).
-
-        NOTE: as a module method this traces EVERY tile into one program
-        (all tile buffers live at once -> tens of GB at 93f 480p). For
-        serving use the module-level ``decode_tiled_host`` below, which
-        compiles ONE fixed-shape tile decode and blends on the host."""
-        B, T, H, W, C = z.shape
-        scale = self.cfg.spatial_scale
-        t_out = 1 + self.cfg.temporal_scale * (T - 1)
-        out = jnp.zeros((B, t_out, H * scale, W * scale, 3))
-        acc = jnp.zeros((1, 1, H * scale, W * scale, 1))
-        step = tile - overlap
-        for i0 in range(0, max(H - overlap, 1), step):
-            for j0 in range(0, max(W - overlap, 1), step):
-                i1, j1 = min(i0 + tile, H), min(j0 + tile, W)
-                dec = self.decode(z[:, :, i0:i1, j0:j1])
-                wy = _blend_profile((i1 - i0) * scale, overlap * scale)
-                wx = _blend_profile((j1 - j0) * scale, overlap * scale)
-                wgt = (wy[:, None] * wx[None, :])[None, None, :, :, None]
-                out = out.at[:, :, i0 * scale:i1 * scale,
-                             j0 * scale:j1 * scale].add(dec * wgt)
-                acc = acc.at[:, :, i0 * scale:i1 * scale,
-                             j0 * scale:j1 * scale].add(wgt)
-        return out / jnp.maximum(acc, 1e-6)
-
     def __call__(self, video, rng=None):
         return self.decode(self.encode(video, rng))
 

@@ -76,13 +76,3 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     kw = {} if mesh is None else {"mesh": mesh}
     fn = shard_map(local, in_specs=(spec, spec, spec), out_specs=spec, **kw)
     return fn(q, k, v)
-
-
-def sequence_parallel_attention(q, k, v, mesh: Mesh | None = None,
-                                axis: str = "seq"):
-    """Dispatch: ring attention when a mesh with a >1 ``seq`` axis is given,
-    plain attention otherwise (drop-in for models.wan attention)."""
-    if mesh is not None and mesh.shape.get(axis, 1) > 1:
-        return ring_attention(q, k, v, mesh, axis)
-    from infinicube_tpu.ops.attention import multi_head_attention
-    return multi_head_attention(q, k, v)
