@@ -4,12 +4,15 @@ The fvnn layer set the reference's VAE/GSM UNets are built from —
 SparseConv3d, GroupNorm, Linear, MaxPool, UpsamplingNearest, activations —
 re-designed for the capacity-padded grid core:
 
-- **SparseConv3d** is a gather-GEMM (SURVEY.md §7.1-2): a precomputed
-  27-neighbor index table (`grid.ops.neighbor_indexes`) turns each kernel tap
-  into a gather + [C, F_in] x [F_in, F_out] matmul on the MXU, accumulated
-  over taps with a `lax.scan` (bounded memory; XLA pipelines the gathers
-  against the matmuls). Padding slots carry zeros so absent neighbors
-  contribute nothing — matching fvdb's implicit zero outside the grid.
+- **SparseConv3d** dispatches on its plan argument (``conv_plan`` builds
+  one per grid): the Pallas **window-GEMM** (ops/window_conv.py — the TPU
+  fast path, 5-50x the alternatives), the **gather-GEMM** reference
+  formulation (27 neighbor-table gathers + MXU matmuls under ``lax.scan`` —
+  the CPU/testing default; XLA row gathers cap it at ~1 TF/s on TPU), or
+  the **brick-dense** backend (nn/brick.py). All share one parameter
+  layout, so checkpoints and the choice of backend are independent.
+  Padding slots carry zeros so absent neighbors contribute nothing —
+  matching fvdb's implicit zero outside the grid.
 - **GroupNormSparse** computes masked per-sample statistics over active
   voxels only (fvnn.GroupNorm semantics on JaggedTensor).
 - Pooling/upsampling data movement lives in ``grid.ops`` (max_pool /
@@ -42,15 +45,17 @@ def gather_neighbor_features(feats: jnp.ndarray, nbr: jnp.ndarray,
 
 
 class SparseConv3d(nn.Module):
-    """Sparse 3x3x3 convolution on a fixed grid (stride 1), two backends:
+    """Sparse 3x3x3 convolution on a fixed grid (stride 1), three backends
+    dispatched on the plan type (build with ``conv_plan``):
 
-    - ``plan`` = int32[B, C, K] neighbor table (``neighbor_indexes``):
-      gather-GEMM — 27 row-gathers + matmuls. Simple, HBM-gather bound.
-    - ``plan`` = ``BrickPlan`` (``nn.brick.build_brick_plan``): brick-dense
-      fast path — structured halo gathers + dense MXU math (10-30x faster;
-      see nn/brick.py). ``brick_resident=True`` means feats are already
-      brick-dense [B, NB*V, F] and the output stays brick-dense (used by
-      SparseResBlock to amortize the voxel<->brick conversion).
+    - ``WindowPlan`` (``ops.window_conv``): Pallas window-GEMM — the TPU
+      fast path (4.9/17.3/50.9 TF/s at F=64/128/256 on v5e).
+    - int32[B, C, K] neighbor table (``neighbor_indexes``): gather-GEMM —
+      27 row-gathers + matmuls; simple, XLA-gather bound (~1 TF/s on TPU),
+      the CPU/testing default.
+    - ``BrickPlan`` (``nn.brick.build_brick_plan``): brick-dense halos +
+      dense MXU math; ``brick_resident=True`` keeps feats brick-dense
+      between the two convs of SparseResBlock.
 
     Parameters are identical across backends (kernel [K, F_in, F_out] in
     neighbor_offsets tap order), so checkpoints are interchangeable."""

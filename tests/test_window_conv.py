@@ -101,3 +101,22 @@ def test_sparse_conv_module_dispatch(setup):
     m = jax.device_get(g.mask[0])
     np.testing.assert_allclose(jax.device_get(out[0])[m],
                                jax.device_get(ref[0])[m], atol=1e-4)
+
+
+def test_conv_plan_dispatch(setup):
+    """conv_plan returns the right plan type per backend and 'auto' follows
+    the platform (gather on CPU)."""
+    import jax
+    from infinicube_tpu.nn.brick import BrickPlan
+    from infinicube_tpu.nn.sparse import conv_plan
+    from infinicube_tpu.ops.window_conv import WindowPlan
+    g, nbr, plan, feats, w = setup
+    assert isinstance(conv_plan(g, "window"), WindowPlan)
+    assert isinstance(conv_plan(g, "brick"), BrickPlan)
+    import jax.numpy as jnp
+    assert isinstance(conv_plan(g, "gather"), jnp.ndarray)
+    auto = conv_plan(g, "auto")
+    if jax.devices()[0].platform == "tpu":
+        assert isinstance(auto, WindowPlan)
+    else:
+        assert isinstance(auto, jnp.ndarray)
