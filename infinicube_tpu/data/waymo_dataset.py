@@ -125,12 +125,18 @@ class WaymoClipDataset:
                     r.close()
 
     # ------------------------------------------------------------------ I/O
-    @staticmethod
-    def _read_frame(reader: TarReader, frame: int, view: str | None = None,
+    def _read_frame(self, reader: TarReader, frame: int,
+                    view: str | None = None,
                     exts=("npy", "npz", "json", "png", "jpg")):
+        # Legacy single-camera tars store members as '{frame}.{ext}' with no
+        # view tag; that fallback is only valid for the FRONT camera — for a
+        # side view a missing member must yield None (sample rejected), not
+        # silently substitute front-camera data (front image with side pose).
+        front = self.cfg.views[0] if self.cfg.views else None
+        allow_untagged = view is None or view == front
         for ext in exts:
             names = ([f"{frame:06d}.{view}.{ext}"] if view else []) + \
-                [f"{frame:06d}.{ext}"]
+                ([f"{frame:06d}.{ext}"] if allow_untagged else [])
             for name in names:
                 if name in reader:
                     return decode_member(ext, reader.read(name))

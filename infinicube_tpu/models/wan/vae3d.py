@@ -349,7 +349,9 @@ def decode_tiled_host(vae: "VideoVAE", params, z, tile=(64, 32),
                       overlap: int = 4, to_uint8: bool = False):
     """Serving-path tiled decode: ONE jitted fixed-shape tile decode
     (z is edge-padded so every tile has the same latent extent); blending
-    accumulates ON DEVICE into a donated bf16 canvas — peak activation
+    accumulates ON DEVICE into a donated float32 canvas (f32 keeps the
+    overlap blend exact; the canvas is ~240 MB at 93f 480p, small next to
+    the tile activations) — peak activation
     memory is a single tile's (~tile^2/(H*W) of the full-frame decode, which
     needs ~20 GB at 93f 480p), and the video crosses to the host ONCE
     (as uint8 when ``to_uint8`` — the axon tunnel moves ~28 MB/s, so

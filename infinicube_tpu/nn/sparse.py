@@ -188,22 +188,41 @@ def compute_neighbor_maps(grids: list[Grid], kernel_size: int = 3):
     return [neighbor_indexes(g, kernel_size) for g in grids]
 
 
-def conv_plan(grid: Grid, backend: str = "auto"):
+def conv_plan(grid: Grid, backend: str = "auto",
+              miss_capacity: int | None = None,
+              check_overflow: bool = True):
     """Build the per-grid plan SparseConv3d consumes (one per grid, reused by
     every conv on it).
 
     backend: "gather" (neighbor table), "window" (Pallas window-GEMM,
     ops/window_conv.py — the TPU fast path, 5-50x faster), "brick"
     (nn/brick.py), or "auto" = window on TPU, gather elsewhere (identical
-    parameters/outputs, so the choice is purely a speed knob)."""
+    parameters/outputs, so the choice is purely a speed knob).
+
+    Overflow policy: the window backend sizes its exact-fallback list as
+    max(4096, C//8) by default (override with ``miss_capacity``) and
+    NaN-poisons conv outputs if it ever overflows, so inexactness is always
+    loud. The brick backend can silently drop voxels past brick capacity, so
+    with ``check_overflow`` (default) this function raises immediately if
+    ``plan.num_dropped > 0`` — plan building runs on the host, so the check
+    costs one small sync, not a jit round-trip."""
     import jax as _jax
     if backend == "auto":
         backend = "window" if _jax.devices()[0].platform == "tpu" \
             else "gather"
     if backend == "window":
         from infinicube_tpu.ops.window_conv import build_window_plan
-        return build_window_plan(grid)
+        return build_window_plan(grid, miss_capacity=miss_capacity)
     if backend == "brick":
         from infinicube_tpu.nn.brick import build_brick_plan
-        return build_brick_plan(grid)
+        plan = build_brick_plan(grid)
+        if check_overflow:
+            dropped = int(_jax.device_get(plan.num_dropped.max()))
+            if dropped:
+                raise ValueError(
+                    f"brick plan dropped {dropped} voxels (brick-capacity "
+                    "overflow): convs on this plan would silently read "
+                    "zeros and skew masked GroupNorm stats — raise "
+                    "brick_capacity or use the window backend")
+        return plan
     return neighbor_indexes(grid, 3)

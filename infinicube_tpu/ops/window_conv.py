@@ -79,9 +79,15 @@ class WindowPlan:
                                    "window_block", "miss_capacity"))
 def build_window_plan(grid: Grid, block_rows: int = 128,
                       window_rows: int = 256, window_block: int = 64,
-                      miss_capacity: int = 4096) -> WindowPlan:
+                      miss_capacity: int | None = None) -> WindowPlan:
     P, W, WB = block_rows, window_rows, window_block
     B, C = grid.mask.shape
+    if miss_capacity is None:
+        # Measured miss count on a Waymo-like surface grid is ~3437 at
+        # C=131k (~C/38); denser/less-regular grids miss more, so default
+        # to C/8 (≥4096) rather than a fixed constant. Overflow is still
+        # surfaced loudly (NaN-poisoned outputs) in window_sparse_conv.
+        miss_capacity = max(4096, C // 8)
     if C % P or C % WB or W % WB:
         raise ValueError("capacity must be a multiple of the window block")
     CB = C // P
@@ -275,9 +281,13 @@ def window_sparse_conv(plan: WindowPlan, feats: jnp.ndarray,
     """Sparse submanifold 3^3 conv on voxel rows.
 
     feats [B, C, F], w [27, F, Fo] (neighbor_offsets tap order, same layout
-    as SparseConv3d.kernel) -> [B, C, Fo]. Exact iff not plan.overflowed."""
+    as SparseConv3d.kernel) -> [B, C, Fo]. Exact iff not plan.overflowed;
+    an overflowed plan NaN-poisons its batch rows so a capacity miss is a
+    loud training failure (NaN-skip/crash), never a silently inexact conv —
+    rebuild the plan with a larger ``miss_capacity`` to recover."""
     out = _conv_core(plan, feats, w)
-    return _fallback(plan, feats, w, out)
+    out = _fallback(plan, feats, w, out)
+    return jnp.where(plan.overflowed[:, None, None], jnp.nan, out)
 
 
 def _wc_fwd(plan, feats, w):

@@ -102,9 +102,18 @@ def train(loop_cfg: LoopConfig, train_cfg: TrainConfig, params,
     if val_fn is None and val_data is not None:
         val_fn = make_default_val_fn(loss_fn, val_data,
                                      loop_cfg.val_batches, mesh)
+    monitor = loop_cfg.ckpt_monitor
+    if monitor and val_fn is None:
+        # With a monitor but no validation metrics, save() would skip every
+        # unranked periodic checkpoint and a crash would lose the whole run —
+        # fall back to keep-last-k retention instead.
+        print(f"[train] WARNING: ckpt_monitor={monitor!r} but no val_fn/"
+              "val_data produces metrics; falling back to keep-last-k "
+              "checkpoint retention")
+        monitor = None
     mgr = CheckpointManager(loop_cfg.ckpt_dir, loop_cfg.ckpt_keep,
                             loop_cfg.ckpt_every,
-                            monitor=loop_cfg.ckpt_monitor,
+                            monitor=monitor,
                             mode=loop_cfg.ckpt_monitor_mode)
     if loop_cfg.resume and mgr.latest_step() is not None:
         state = mgr.restore(state)

@@ -71,6 +71,29 @@ def test_overflow_surfaced(setup):
         assert bool(jax.device_get(tiny.overflowed)[0])
 
 
+def test_overflow_poisons_output(setup):
+    """An overflowed plan must fail LOUDLY: outputs NaN-poisoned, never a
+    silently inexact conv (ADVICE round 2, window_conv.py miss_capacity)."""
+    import dataclasses
+    g, nbr, plan, feats, w = setup
+    assert not bool(jax.device_get(plan.overflowed)[0])
+    clean = window_sparse_conv(plan, feats, w)
+    assert not bool(jnp.isnan(clean).any())
+    cap = plan.miss_out.shape[1]
+    forced = dataclasses.replace(
+        plan, num_missed=jnp.full_like(plan.num_missed, cap + 1))
+    poisoned = window_sparse_conv(forced, feats, w)
+    assert bool(jnp.isnan(poisoned).all())
+
+
+def test_default_miss_capacity_scales_with_grid(setup):
+    """conv_plan's window default sizes the fallback list from grid capacity
+    (max(4096, C//8)) instead of a fixed 4096."""
+    g, nbr, plan, feats, w = setup
+    auto = build_window_plan(g)
+    assert auto.miss_out.shape[1] == max(4096, g.mask.shape[1] // 8)
+
+
 def test_gradients_match_gather(setup):
     g, nbr, plan, feats, w = setup
     cot = jax.random.normal(jax.random.PRNGKey(3), (1, 4096, 24))
