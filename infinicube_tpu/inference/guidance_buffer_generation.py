@@ -179,6 +179,10 @@ def main(argv=None):
     ap.add_argument("--frame_offset", type=int, default=0)
     ap.add_argument("--meter_offset", type=float, default=0.0)
     ap.add_argument("--run_video", action="store_true")
+    ap.add_argument("--ckpt", default=None,
+                    help="converter-written checkpoint dir (python -m "
+                         "infinicube_tpu.convert) holding real Wan weights; "
+                         "default: random-init pipeline")
     ap.add_argument("--prompt", default="a realistic driving scene")
     args = ap.parse_args(argv)
 
@@ -211,8 +215,11 @@ def main(argv=None):
         from infinicube_tpu.models.wan.pipeline import (
             WanPipelineConfig, WanVideoGenerator)
         import jax
-        gen = WanVideoGenerator(WanPipelineConfig())
-        gen.params = gen.init_params(jax.random.PRNGKey(0))
+        if args.ckpt:
+            gen = WanVideoGenerator.from_checkpoint(args.ckpt)
+        else:
+            gen = WanVideoGenerator(WanPipelineConfig())
+            gen.params = gen.init_params(jax.random.PRNGKey(0))
         frames = gen.generate((sem_rgb[:93] * 255).astype(np.uint8),
                               coord[:93], args.prompt)
         from infinicube_tpu.utils.fileio import write_video

@@ -60,6 +60,30 @@ class WanVideoGenerator:
         self.tokenizer = tokenizer
 
     # ---- initialization ---------------------------------------------------
+    @classmethod
+    def from_checkpoint(cls, path, cfg: "WanPipelineConfig | None" = None,
+                        tokenizer=None, rng: jax.Array | None = None
+                        ) -> "WanVideoGenerator":
+        """Build a generator from a converter-written checkpoint
+        (``python -m infinicube_tpu.convert``, the released-weights path —
+        reference loads the same three files in videogen/inference.py:63-88).
+        Towers absent from the checkpoint fall back to random init so
+        partial conversions (e.g. VAE-only) still serve."""
+        from infinicube_tpu.convert import (
+            load_pipeline_checkpoint, pipeline_config_from_meta)
+        params, meta = load_pipeline_checkpoint(path)
+        if cfg is None:
+            cfg = pipeline_config_from_meta(meta)
+        gen = cls(cfg, tokenizer=tokenizer)
+        missing = {"dit", "vae", "t5"} - set(params)
+        if missing:
+            init = gen.init_params(rng if rng is not None
+                                   else jax.random.PRNGKey(0))
+            for tower in missing:
+                params[tower] = init[tower]
+        gen.params = params
+        return gen
+
     def init_params(self, rng: jax.Array, tiny_shapes: bool = False) -> dict:
         cfg = self.cfg
         T, H, W = (3, 8, 8) if tiny_shapes else cfg.latent_thw
