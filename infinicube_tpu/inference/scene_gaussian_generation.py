@@ -194,15 +194,51 @@ def reconstruct_scene(data: dict, params=None, model: GSM | None = None,
     return static_gs, object_gs, out, model, params
 
 
+def segment_sky(video: "np.ndarray", ckpt: str,
+                variant: str = "b0") -> "np.ndarray":
+    """Run the converted SegFormer over the video frames -> sky masks
+    [V, H, W] uint8 (the reference runs the cityscapes mmseg SegFormer at
+    this exact spot, scene_gaussian_generation.py:90-95). ``ckpt``: a torch
+    state dict (.pth, HF layout) or a saved flax params .msgpack."""
+    from infinicube_tpu.data_process.generate_additional_attributes import (
+        make_segformer_sky_segmenter)
+    from infinicube_tpu.models.gsm.segformer import (SegformerConfig,
+                                                     convert_segformer_hf)
+    cfg = getattr(SegformerConfig, variant)()
+    if str(ckpt).endswith(".msgpack"):
+        import flax.serialization
+        from infinicube_tpu.models.gsm.segformer import Segformer
+        import jax
+        tmpl = jax.eval_shape(
+            lambda: Segformer(cfg).init(jax.random.PRNGKey(0),
+                                        jnp.zeros((1, 64, 64, 3))))
+        params = flax.serialization.from_bytes(
+            tmpl, Path(ckpt).read_bytes())
+    else:
+        from infinicube_tpu.weights.convert import load_torch_state_dict
+        params = convert_segformer_hf(load_torch_state_dict(ckpt), cfg)
+    seg = make_segformer_sky_segmenter(params, cfg)
+    return np.stack([seg(f) for f in video]).astype(np.uint8)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--buffer_folder", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--num_frames", type=int, default=16)
     ap.add_argument("--max_views", type=int, default=8)
+    ap.add_argument("--segformer-ckpt", default=None,
+                    help="SegFormer weights (.pth HF layout or flax "
+                         ".msgpack): sky masks from segmentation instead of "
+                         "the depth==0 fallback")
+    ap.add_argument("--segformer-variant", default="b0")
     args = ap.parse_args(argv)
 
     data = load_buffer_folder(args.buffer_folder, args.num_frames)
+    if args.segformer_ckpt and data.get("video") is not None and \
+            data.get("sky_seg") is None:
+        data["sky_seg"] = segment_sky(data["video"], args.segformer_ckpt,
+                                      args.segformer_variant)
     static_gs, object_gs, out, _, _ = reconstruct_scene(
         data, max_views=args.max_views)
     outdir = Path(args.output)

@@ -60,6 +60,14 @@ class WanDiTConfig:
     # the axis (jax.set_mesh); cross-attention stays local (text context is
     # replicated)
     sp_axis: str | None = None
+    # int8 serving path (inference-only; rounding has no useful gradient):
+    # attn_quant routes self-attention through the specialized int8 flash
+    # kernel (ops/flash_attention.py: "qk" = int8 QK^T, "qkv" = also int8
+    # PV); quant_linear runs the block projections/FFN on the int8 MXU
+    # (nn/quant.py). Both are quality-gated (cosine >= 0.999 vs bf16,
+    # tests/test_quant.py) and measured 1.3-1.5x on v5e (docs/PERF.md).
+    attn_quant: str | None = None
+    quant_linear: bool = False
     patch_size: tuple = (1, 2, 2)
     buffer_channels: int = 32       # 2 x VAE-encoded buffer videos
     use_buffer_embedder: bool = True
@@ -122,9 +130,13 @@ def apply_rope(x: jnp.ndarray, angles: jnp.ndarray) -> jnp.ndarray:
                            axis=-1).astype(x.dtype)
 
 
-def _dense(features, axes, name, dtype, zero=False):
+def _dense(features, axes, name, dtype, zero=False, quant=False):
     init = nn.initializers.zeros if zero else \
         nn.initializers.lecun_normal()
+    if quant:
+        from infinicube_tpu.nn.quant import QuantDense
+        return QuantDense(features, axes=axes, dtype=dtype, name=name,
+                          kernel_init=init)
     return nn.Dense(features, dtype=dtype, name=name,
                     kernel_init=nn.with_logical_partitioning(init, axes))
 
@@ -142,13 +154,15 @@ class WanAttention(nn.Module):
         # fused projections: one [C, 3C] (self) / q + [C, 2C] (cross) matmul
         # instead of three — fewer, larger MXU calls (the converter concats
         # the reference's separate q/k/v weights to match)
+        qt = cfg.quant_linear
         if self.cross:
-            q = _dense(C, ("embed_in", "heads"), "q", cfg.dtype)(x)
+            q = _dense(C, ("embed_in", "heads"), "q", cfg.dtype, quant=qt)(x)
             kv = _dense(2 * C, ("embed_in", "heads"), "kv",
                         cfg.dtype)(context)
             k, v = jnp.split(kv, 2, axis=-1)
         else:
-            qkv = _dense(3 * C, ("embed_in", "heads"), "qkv", cfg.dtype)(x)
+            qkv = _dense(3 * C, ("embed_in", "heads"), "qkv", cfg.dtype,
+                         quant=qt)(x)
             q, k, v = jnp.split(qkv, 3, axis=-1)
         # Wan applies RMSNorm over the FULL dim (all heads at once) before
         # the head reshape — upstream WanSelfAttention norm_q(self.q(x)) on
@@ -168,11 +182,15 @@ class WanAttention(nn.Module):
             # sharded over cfg.sp_axis by the caller's in_shardings)
             from infinicube_tpu.ops.ring_attention import ring_attention
             out = ring_attention(q, k, v, self.sp_mesh, axis=cfg.sp_axis)
+        elif cfg.attn_quant and not self.cross:
+            # int8 MXU flash attention (serving path; quality-gated)
+            from infinicube_tpu.ops.flash_attention import mha_quantized
+            out = mha_quantized(q, k, v, quant=cfg.attn_quant)
         else:
             from infinicube_tpu.ops.attention import multi_head_attention
             out = multi_head_attention(q, k, v)  # Pallas flash kernel on TPU
         out = out.reshape(B, N, C)
-        return _dense(C, ("heads", "embed"), "o", cfg.dtype)(out)
+        return _dense(C, ("heads", "embed"), "o", cfg.dtype, quant=qt)(out)
 
 
 class WanBlock(nn.Module):
@@ -201,10 +219,11 @@ class WanBlock(nn.Module):
         h = nn.LayerNorm(use_bias=False, use_scale=False,
                          dtype=jnp.float32)(x)
         h = h * (1 + sc2) + sh2
-        h = _dense(cfg.ffn_dim, ("embed_in", "ffn"), "ffn_in", cfg.dtype)(
-            h.astype(cfg.dtype))
+        h = _dense(cfg.ffn_dim, ("embed_in", "ffn"), "ffn_in", cfg.dtype,
+                   quant=cfg.quant_linear)(h.astype(cfg.dtype))
         h = nn.gelu(h, approximate=True)
-        h = _dense(cfg.dim, ("ffn", "embed"), "ffn_out", cfg.dtype)(h)
+        h = _dense(cfg.dim, ("ffn", "embed"), "ffn_out", cfg.dtype,
+                   quant=cfg.quant_linear)(h)
         return x + g2 * h
 
 

@@ -1,0 +1,303 @@
+"""Specialized non-causal Pallas flash attention with int8 MXU and
+fixed-max softmax options.
+
+The Wan DiT headline step is attention-bound: 93f @ 480p is N=37,440 tokens
+and self-attention is ~74% of step FLOPs (docs/ROUND2.md "Perf reality").
+Measured on the v5e (docs/PERF.md round 3): the stock flash kernel runs
+~130 ms/layer at the bench shape, and int8 QK^T alone barely moves it
+(125 ms) while int8 PV makes it SLOWER (159 ms) — i.e. the kernel is
+VPU-bound on softmax work (exp, reductions), not MXU-bound. So this kernel
+attacks the VPU term:
+
+- **fixed-max softmax** (``fixed_max=True``): softmax ratios are invariant
+  to the max subtracted, as long as exp neither overflows nor fully
+  underflows. A per-(head, q-block) Cauchy-Schwarz bound
+  ``m0 = sm_scale * max_block ||q_i|| * max ||k_j||`` is computed OUTSIDE
+  the kernel (O(N d) work) and passed via scalar prefetch, eliminating the
+  per-tile running-max reduce, the rescale ``exp(m_prev - m_new)`` and the
+  accumulator rescale multiply — the classic online-softmax machinery that
+  non-causal bounded-logit attention does not need. Wan RMSNorms q/k right
+  before attention, so the bound sits within ~e^80 of the true max by a
+  huge margin (underflow guard: the final divide clamps l at 1e-37).
+- **vector-l accumulation**: the softmax denominator accumulates as a
+  [bq, 128] lane-partial (bk/128 shifted adds) instead of a cross-lane
+  reduce per tile; one real reduce happens at the end of each q row.
+- ``quant="qk"``: QK^T on the int8 MXU (measured 176-180 TOP/s vs ~120
+  TF/s bf16 at these shapes). q/k are quantized outside with one scale per
+  (batch*head, block) tile; per-block scalar scales are exact to apply
+  (logits = int32 * sq * sk * sm_scale) and near-lossless for RMSNormed
+  q/k (uniform row norms; RoPE is norm-preserving). Softmax stays f32.
+- ``quant="qkv"``: additionally PV on the int8 MXU with P at the fixed
+  scale 127 (P in [0,1]) and PER-CHANNEL V scales, which factor exactly
+  out of the key-sum. Measured slower on v5e (the P requantize is VPU
+  work in the bound resource) — kept for completeness/future chips.
+
+Forward-only: this is a serving/inference path (the bench and the CLIs);
+training keeps the stock bf16 flash kernel with its fused backward.
+Reference anchor: the A100 baseline runs bf16 torch SDPA
+(/root/reference/README.md:65); quantized attention is standard serving
+practice, quality-gated at cosine >= 0.999 in tests/test_quant.py.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def _lane_partial_sum(p):
+    """[bq, bk] -> [bq, 128] partial row-sums (bk/128 shifted lane adds;
+    the real cross-lane reduce happens once per q block at store time)."""
+    bq, bk = p.shape
+    acc = p[:, :128]
+    for i in range(1, bk // 128):
+        acc = acc + p[:, i * 128:(i + 1) * 128]
+    return acc
+
+
+def _kernel_body(n_real, nkb, quant, fixed_max, out_dtype, scale, m0,
+                 q_ref, k_ref, v_ref, sv_ref, o_ref, m_scr, l_scr, acc_scr):
+    kj = pl.program_id(2)
+
+    @pl.when(kj == 0)
+    def _init():
+        if not fixed_max:
+            m_scr[...] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    acc_t = jnp.int32 if quant in ("qk", "qkv") else jnp.float32
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=acc_t)
+    s = s.astype(jnp.float32) * scale
+    bq, bk = s.shape
+
+    if n_real % bk:
+        col = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        s = jnp.where((kj < nkb - 1) | (col < n_real - kj * bk), s, _NEG_INF)
+
+    if fixed_max:
+        p = jnp.exp(s - m0)
+        l_scr[...] += _lane_partial_sum(p)
+    else:
+        m_prev = m_scr[:, :1]
+        l_prev = l_scr[:, :1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+
+    if quant == "qkv":
+        p8 = (p * 127.0 + 0.5).astype(jnp.int8)
+        pv = jax.lax.dot_general(p8, v_ref[0], (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.int32)
+        pv = pv.astype(jnp.float32) * (sv_ref[0, 0].astype(jnp.float32)
+                                       [None, :] * jnp.float32(1.0 / 127.0))
+    else:
+        pv = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[0],
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    if fixed_max:
+        acc_scr[...] += pv
+    else:
+        acc_scr[...] = acc_scr[...] * alpha + pv
+        m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(kj == nkb - 1)
+    def _store():
+        if fixed_max:
+            l = jnp.sum(l_scr[...], axis=1, keepdims=True)
+        else:
+            l = l_scr[:, :1]
+        o_ref[0] = (acc_scr[...] /
+                    jnp.maximum(l, 1e-37)).astype(out_dtype)
+
+
+def _make_kernel(n_real, nkb, quant, fixed_max, out_dtype, sm_scale):
+    """Bind the per-tile logit scale (sm_scale, or sm_scale*sq*sk read from
+    scalar prefetch for the int8 path) and the fixed-max bound m0."""
+    if quant in ("qk", "qkv"):
+        if quant == "qkv":
+            def kern(sq_ref, sk_ref, m0_ref, q_ref, k_ref, v_ref, sv_ref,
+                     o_ref, *scr):
+                bh, qi, kj = (pl.program_id(i) for i in range(3))
+                scale = (sq_ref[bh, qi] * sk_ref[bh, kj] *
+                         jnp.float32(sm_scale))
+                m0 = m0_ref[bh, qi] if fixed_max else None
+                _kernel_body(n_real, nkb, quant, fixed_max, out_dtype,
+                             scale, m0, q_ref, k_ref, v_ref, sv_ref,
+                             o_ref, *scr)
+            return kern
+
+        def kern(sq_ref, sk_ref, m0_ref, q_ref, k_ref, v_ref, o_ref, *scr):
+            bh, qi, kj = (pl.program_id(i) for i in range(3))
+            scale = (sq_ref[bh, qi] * sk_ref[bh, kj] * jnp.float32(sm_scale))
+            m0 = m0_ref[bh, qi] if fixed_max else None
+            _kernel_body(n_real, nkb, quant, fixed_max, out_dtype, scale,
+                         m0, q_ref, k_ref, v_ref, None, o_ref, *scr)
+        return kern
+
+    def kern(m0_ref, q_ref, k_ref, v_ref, o_ref, *scr):
+        bh, qi = pl.program_id(0), pl.program_id(1)
+        m0 = m0_ref[bh, qi] if fixed_max else None
+        _kernel_body(n_real, nkb, "none", fixed_max, out_dtype,
+                     jnp.float32(sm_scale), m0, q_ref, k_ref, v_ref, None,
+                     o_ref, *scr)
+    return kern
+
+
+def _block_quantize(x: jnp.ndarray, block: int):
+    """x [BH, N, d] -> int8 values + f32 per-(BH, block) scales.
+
+    One scale per [block, d] tile: exact to apply inside the kernel as a
+    scalar, and near-lossless for RMSNormed q/k (uniform row norms)."""
+    BH, N, d = x.shape
+    xb = x.astype(jnp.float32).reshape(BH, N // block, block * d)
+    amax = jnp.max(jnp.abs(xb), axis=-1)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.round(xb / scale[..., None]).astype(jnp.int8)
+    return q.reshape(BH, N, d), scale
+
+
+def _channel_quantize(x: jnp.ndarray):
+    """x [BH, N, d] -> int8 + f32 per-(BH, channel) scales (PV-exact)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=1)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.round(x.astype(jnp.float32) / scale[:, None, :]).astype(jnp.int8)
+    return q, scale
+
+
+def _fixed_max_bound(q, k, bq, sm_scale, n_real):
+    """Per-(BH, q-block) logit upper bound: sm_scale * max-block-row-norm(q)
+    * max-row-norm(k). Padded k rows are zero and don't affect the max;
+    clamped >= 0 so padded q blocks stay harmless."""
+    qn = jnp.linalg.norm(q.astype(jnp.float32), axis=-1)     # [BH, N]
+    kn = jnp.linalg.norm(k.astype(jnp.float32), axis=-1)
+    BH, N = qn.shape
+    qb = jnp.max(qn.reshape(BH, N // bq, bq), axis=-1)       # [BH, nqb]
+    km = jnp.max(kn, axis=-1, keepdims=True)                 # [BH, 1]
+    return jnp.maximum(qb * km * sm_scale, 0.0).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "sm_scale", "n_real", "block_q", "block_k", "quant", "fixed_max",
+    "interpret"))
+def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
+                    sm_scale: float, n_real: int | None = None,
+                    block_q: int = 1024, block_k: int = 1024,
+                    quant: str = "none", fixed_max: bool = True,
+                    interpret: bool = False) -> jnp.ndarray:
+    """Non-causal flash attention. q/k/v [BH, N, d] (heads folded into the
+    leading dim), N padded by the caller to a block multiple (pad rows
+    ZERO); rows past ``n_real`` are masked out of every softmax. Returns
+    [BH, N, d] in q's dtype (garbage in padded rows)."""
+    BH, N, d = q.shape
+    n_real = N if n_real is None else n_real
+    bq, bk = min(block_q, N), min(block_k, N)
+    if N % bq or N % bk or bk % 128:
+        raise ValueError(f"N={N} not a multiple of blocks {bq},{bk}")
+    if quant == "qkv":
+        # int8 P needs p_max ~ 1 (fixed scale 127); under a fixed max all
+        # P entries are e^-delta-small and would round to zero
+        fixed_max = False
+    nqb, nkb = N // bq, N // bk
+    out_dtype = q.dtype
+
+    scratch = [pltpu.VMEM((bq, 128), jnp.float32),
+               pltpu.VMEM((bq, 128), jnp.float32),
+               pltpu.VMEM((bq, d), jnp.float32)]
+    m0 = _fixed_max_bound(q, k, bq, sm_scale, n_real) if fixed_max else \
+        jnp.zeros((BH, nqb), jnp.float32)
+    kern = _make_kernel(n_real, nkb, quant, fixed_max, out_dtype, sm_scale)
+
+    if quant in ("qk", "qkv"):
+        q8, sq = _block_quantize(q, bq)
+        k8, sk = _block_quantize(k, bk)
+        inputs = [q8, k8]
+        # index maps receive the scalar-prefetch refs as trailing args
+        in_specs = [
+            pl.BlockSpec((1, bq, d), lambda b, i, j, *_: (b, i, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, i, j, *_: (b, j, 0)),
+        ]
+        if quant == "qkv":
+            v8, sv = _channel_quantize(v)
+            inputs += [v8, sv[:, None, :]]
+            in_specs += [
+                pl.BlockSpec((1, bk, d), lambda b, i, j, *_: (b, j, 0)),
+                pl.BlockSpec((1, 1, d), lambda b, i, j, *_: (b, 0, 0)),
+            ]
+        else:
+            inputs.append(v)
+            in_specs.append(pl.BlockSpec((1, bk, d),
+                                         lambda b, i, j, *_: (b, j, 0)))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(BH, nqb, nkb),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, bq, d), lambda b, i, j, *_: (b, i, 0)),
+            scratch_shapes=scratch)
+        return pl.pallas_call(
+            kern, grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((BH, N, d), out_dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary")),
+            interpret=interpret,
+        )(sq, sk, m0, *inputs)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(BH, nqb, nkb),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda b, i, j, *_: (b, i, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, i, j, *_: (b, j, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, i, j, *_: (b, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda b, i, j, *_: (b, i, 0)),
+        scratch_shapes=scratch)
+    return pl.pallas_call(
+        kern, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((BH, N, d), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(m0, q, k, v)
+
+
+def mha_quantized(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                  quant: str = "qk", block_q: int = 1024,
+                  block_k: int = 1024,
+                  fixed_max: bool = True) -> jnp.ndarray:
+    """[B, N, h, d] layout wrapper (multi_head_attention's convention):
+    folds heads into the batch, pads N to a block multiple, runs the
+    specialized kernel, and unpads."""
+    B, N, h, d = q.shape
+    sm_scale = 1.0 / math.sqrt(d)
+    np2 = max(128, 1 << (N - 1).bit_length())
+    bq = min(block_q, np2)
+    bk = min(block_k, np2)
+    pad = (-N) % max(bq, bk)   # both are powers of two
+    Np = N + pad
+
+    def fold(x):
+        x = x.transpose(0, 2, 1, 3).reshape(B * h, N, d)
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        return x
+
+    out = flash_attention(fold(q), fold(k), fold(v), sm_scale=sm_scale,
+                          n_real=N, block_q=bq, block_k=bk,
+                          quant=quant, fixed_max=fixed_max,
+                          interpret=jax.devices()[0].platform != "tpu")
+    out = out[:, :N].reshape(B, h, N, d).transpose(0, 2, 1, 3)
+    return out

@@ -40,6 +40,40 @@ def test_guidance_buffer_cli(tmp_path, monkeypatch):
     assert data["Ks"].shape == (3, 3, 3)
 
 
+def test_stage3_segformer_sky_masks(tmp_path):
+    """--segformer-ckpt path: a saved SegFormer drives the stage-3 sky
+    masks instead of the depth==0 fallback (VERDICT r2 missing #3;
+    reference scene_gaussian_generation.py:90-95)."""
+    import flax.serialization
+    import jax
+    import jax.numpy as jnp
+    from infinicube_tpu.inference.scene_gaussian_generation import (
+        build_gsm_masks, segment_sky)
+    from infinicube_tpu.models.gsm.segformer import (Segformer,
+                                                     SegformerConfig)
+
+    cfg = SegformerConfig.tiny()
+    params = Segformer(cfg).init(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 32, 32, 3)))
+    ckpt = tmp_path / "segformer.msgpack"
+    ckpt.write_bytes(flax.serialization.to_bytes(params))
+
+    video = np.random.default_rng(0).uniform(
+        0, 255, (2, 32, 32, 3)).astype(np.uint8)
+    sky = segment_sky(video, str(ckpt), variant="tiny")
+    assert sky.shape == (2, 32, 32) and sky.dtype == np.uint8
+
+    depth = np.ones((2, 32, 32), np.float32)
+    m_seg = build_gsm_masks(depth, np.zeros_like(depth, np.int32), sky,
+                            pixel_branch_last_n=2)
+    m_fall = build_gsm_masks(depth, np.zeros_like(depth, np.int32), None,
+                             pixel_branch_last_n=2)
+    # segmentation must actually land in channel 0 (fg-from-seg)
+    np.testing.assert_array_equal(m_seg[..., 0], 1.0 - sky)
+    # fallback uses the grid channel instead
+    np.testing.assert_array_equal(m_fall[..., 0], m_fall[..., 3])
+
+
 def test_vis_cli_smoke(tmp_path):
     world = make_world(tmp_path)
     vis_grid([str(world), "--output", str(tmp_path / "v"), "--views", "1"])
