@@ -93,15 +93,47 @@ class RMSNormCh(nn.Module):
 
 
 def causal_conv3d(x, features, name, kernel=(3, 3, 3), strides=(1, 1, 1),
-                  dtype=jnp.bfloat16):
+                  dtype=jnp.bfloat16, tctx=None):
     """Temporal pad 2*pt on the left (zeros), SAME in space — must be called
     inside a parent @nn.compact so the conv params live directly under
-    ``name`` (clean torch-key conversion)."""
+    ``name`` (clean torch-key conversion).
+
+    ``tctx``: streaming feature cache — the previous chunk's last 2*(kt//2)
+    frames at this layer, prepended INSTEAD of the zero pad (the Wan2.1
+    feat_cache decode semantics: mid-stream chunks see real history, only
+    the clip start sees zeros)."""
     kt, kh, kw = kernel
-    x = jnp.pad(x, ((0, 0), (2 * (kt // 2), 0), (kh // 2, kh // 2),
+    if kt > 1:
+        if tctx is None:
+            x = jnp.pad(x, ((0, 0), (2 * (kt // 2), 0), (0, 0), (0, 0),
+                            (0, 0)))
+        else:
+            x = jnp.concatenate([tctx.astype(x.dtype), x], axis=1)
+    x = jnp.pad(x, ((0, 0), (0, 0), (kh // 2, kh // 2),
                     (kw // 2, kw // 2), (0, 0)))
     return nn.Conv(features, kernel, strides=strides, padding="VALID",
                    dtype=dtype, name=name)(x)
+
+
+def _cc3d_stream(x, features, name, cache, key, kernel=(3, 3, 3),
+                 dtype=jnp.bfloat16):
+    """causal_conv3d + cache bookkeeping: reads cache[key] (None on the
+    first chunk), writes the next chunk's context (this chunk's last 2
+    input frames INCLUDING inherited context, so chunks of 1 work)."""
+    kt = kernel[0]
+    ctx = None if cache is None else cache.get(key)
+    nctx = 2 * (kt // 2)
+    # context for the NEXT chunk: last nctx frames of this layer's padded
+    # input (zero pad at clip start, so 1-frame first chunks still hand a
+    # full-length context forward)
+    if ctx is None:
+        src = jnp.pad(x, ((0, 0), (nctx, 0), (0, 0), (0, 0), (0, 0)))
+    else:
+        src = jnp.concatenate([ctx.astype(x.dtype), x], axis=1)
+    new_ctx = src[:, -nctx:] if nctx else None
+    out = causal_conv3d(x, features, name, kernel=kernel, dtype=dtype,
+                        tctx=ctx)
+    return out, new_ctx
 
 
 class ResidualBlock(nn.Module):
@@ -109,15 +141,29 @@ class ResidualBlock(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, cache=None, streaming=False):
+        """``streaming``: thread the per-conv temporal feature cache
+        (``cache`` None on the first chunk) and also return the new cache."""
         h = nn.silu(RMSNormCh(name="residual_0")(x))
-        h = causal_conv3d(h, self.features, "residual_2", dtype=self.dtype)
-        h = nn.silu(RMSNormCh(name="residual_3")(h))
-        h = causal_conv3d(h, self.features, "residual_6", dtype=self.dtype)
+        if streaming:
+            new = {}
+            h, new["residual_2"] = _cc3d_stream(
+                h, self.features, "residual_2", cache, "residual_2",
+                dtype=self.dtype)
+            h = nn.silu(RMSNormCh(name="residual_3")(h))
+            h, new["residual_6"] = _cc3d_stream(
+                h, self.features, "residual_6", cache, "residual_6",
+                dtype=self.dtype)
+        else:
+            h = causal_conv3d(h, self.features, "residual_2",
+                              dtype=self.dtype)
+            h = nn.silu(RMSNormCh(name="residual_3")(h))
+            h = causal_conv3d(h, self.features, "residual_6",
+                              dtype=self.dtype)
         if x.shape[-1] != self.features:
             x = causal_conv3d(x, self.features, "shortcut",
                               kernel=(1, 1, 1), dtype=self.dtype)
-        return x + h
+        return (x + h, new) if streaming else x + h
 
 
 class AttentionBlock(nn.Module):
@@ -185,8 +231,25 @@ class Upsample3D(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, cache=None, streaming=False):
         B, T, H, W, C = x.shape
+        if streaming:
+            t2, new_ctx = _cc3d_stream(x, 2 * C, "time_conv", cache,
+                                       "time_conv", kernel=(3, 1, 1),
+                                       dtype=self.dtype)
+            if cache is None:   # clip start: first frame passes through raw
+                pair = t2[:, 1:].reshape(B, T - 1, H, W, 2, C)
+                pair = pair.transpose(0, 1, 4, 2, 3, 5).reshape(
+                    B, 2 * (T - 1), H, W, C)
+                x = jnp.concatenate([x[:, :1], pair], axis=1)
+            else:               # mid-stream: every frame pair-expands
+                pair = t2.reshape(B, T, H, W, 2, C)
+                x = pair.transpose(0, 1, 4, 2, 3, 5).reshape(
+                    B, 2 * T, H, W, C)
+            x = jnp.repeat(jnp.repeat(x, 2, axis=2), 2, axis=3)
+            out = nn.Conv(C // 2, (1, 3, 3), dtype=self.dtype,
+                          name="resample_1")(x)
+            return out, {"time_conv": new_ctx}
         t2 = causal_conv3d(x, 2 * C, "time_conv", kernel=(3, 1, 1),
                            dtype=self.dtype)
         pair = t2[:, 1:].reshape(B, T - 1, H, W, 2, C)
@@ -268,9 +331,46 @@ class VideoDecoder(nn.Module):
     cfg: VideoVAEConfig
 
     @nn.compact
-    def __call__(self, z):
+    def __call__(self, z, cache=None, streaming=False):
+        """``streaming``: chunked decode with the per-conv temporal feature
+        cache (the Wan2.1 feat_cache semantics). First chunk: cache=None;
+        later chunks consume the previous return. Returns (frames, cache)
+        when streaming. AttentionBlock/RMSNorm/2D resamples are per-frame
+        (stateless in time); only kt=3 causal convs carry state."""
         cfg = self.cfg
         dims0 = cfg.base_channels * cfg.channel_mult[-1]
+        new: dict = {}
+
+        def sub(c, name):
+            return None if c is None else c.get(name)
+
+        if streaming:
+            x, new["conv1"] = _cc3d_stream(z.astype(cfg.dtype), dims0,
+                                           "conv1", cache, "conv1",
+                                           dtype=cfg.dtype)
+            x, new["middle_0"] = ResidualBlock(
+                dims0, dtype=cfg.dtype, name="middle_0")(
+                    x, sub(cache, "middle_0"), streaming=True)
+            x = AttentionBlock(dtype=cfg.dtype, name="middle_1")(x)
+            x, new["middle_2"] = ResidualBlock(
+                dims0, dtype=cfg.dtype, name="middle_2")(
+                    x, sub(cache, "middle_2"), streaming=True)
+            for idx, kind, feat in decoder_schedule(cfg):
+                name = f"upsamples_{idx}"
+                if kind == "res":
+                    x, new[name] = ResidualBlock(
+                        feat, dtype=cfg.dtype, name=name)(
+                            x, sub(cache, name), streaming=True)
+                elif kind == "up2d":
+                    x = Upsample2D(dtype=cfg.dtype, name=name)(x)
+                else:
+                    x, new[name] = Upsample3D(dtype=cfg.dtype, name=name)(
+                        x, sub(cache, name), streaming=True)
+            x = nn.silu(RMSNormCh(name="head_0")(x))
+            x, new["head_2"] = _cc3d_stream(x.astype(jnp.float32), 3,
+                                            "head_2", cache, "head_2",
+                                            dtype=jnp.float32)
+            return jnp.clip(x, -1.0, 1.0), new
         x = causal_conv3d(z.astype(cfg.dtype), dims0, "conv1",
                           dtype=cfg.dtype)
         x = ResidualBlock(dims0, dtype=cfg.dtype, name="middle_0")(x)
@@ -332,8 +432,51 @@ class VideoVAE(nn.Module):
             z = z * std + mean
         return self.decoder(self.post_quant_conv(z.astype(jnp.float32)))
 
+    def decode_step(self, z_chunk, cache=None):
+        """One streaming-decode chunk (Wan2.1 feat_cache semantics: the
+        real .pth decodes chunk-by-chunk carrying per-conv temporal state).
+        Exactly equals the whole-clip ``decode`` frame-for-frame —
+        tests/test_wan.py::test_streaming_decode_matches_whole_clip.
+        Returns (frames, cache); pass the cache to the next chunk."""
+        mean, std = self._scale()
+        if mean is not None:
+            z_chunk = z_chunk * std + mean
+        return self.decoder(self.post_quant_conv(z_chunk.astype(jnp.float32)),
+                            cache, streaming=True)
+
     def __call__(self, video, rng=None):
         return self.decode(self.encode(video, rng))
+
+
+def decode_streaming_host(vae: "VideoVAE", params, z, chunk: int = 2):
+    """Streaming decode: latent chunks through ``decode_step`` with the
+    carried feature cache — O(chunk) temporal activation memory instead of
+    the whole clip (the Wan2.1 feat_cache serving mode). Two jitted
+    programs: the first chunk (zero-history) and the steady-state chunk.
+    Returns frames [B, 1 + ts*(T-1), H*s, W*s, 3] on the host."""
+    import numpy as _np
+
+    B, T = z.shape[:2]
+    first = partial(jax.jit, static_argnames=())(
+        lambda p, zc: vae.apply(p, zc, method=VideoVAE.decode_step))
+    step = jax.jit(lambda p, zc, c: vae.apply(p, zc, c,
+                                              method=VideoVAE.decode_step))
+    c0 = min(chunk, T)
+    out, cache = first(params, z[:, :c0])
+    frames = [_np.asarray(jax.device_get(out))]
+    t = c0
+    while t < T:
+        c = min(chunk, T - t)
+        if c != chunk:  # ragged tail gets its own (cached) program
+            out, cache = jax.jit(
+                lambda p, zc, cc: vae.apply(p, zc, cc,
+                                            method=VideoVAE.decode_step)
+            )(params, z[:, t:t + c], cache)
+        else:
+            out, cache = step(params, z[:, t:t + c], cache)
+        frames.append(_np.asarray(jax.device_get(out)))
+        t += c
+    return _np.concatenate(frames, axis=1)
 
 
 def _blend_profile(n: int, ramp: int) -> jnp.ndarray:

