@@ -242,6 +242,62 @@ class DepthAnythingFeatures(nn.Module):
 # HF checkpoint conversion
 # ---------------------------------------------------------------------------
 
+def convert_dinov2_hf(sd, cfg: DAv2Config) -> dict:
+    """HuggingFace ``Dinov2Model`` state dict -> Dinov2Backbone params (the
+    standalone DINOv2 GSM-encoder option; same backbone module DAv2
+    embeds, different checkpoint prefix — no 'backbone.' and the DAv2 DPT
+    neck is absent). Validated against the installed transformers
+    Dinov2Model in tests/test_encoder_towers.py."""
+    t2j = lambda x: jnp.asarray(np.asarray(x.detach().cpu().numpy()
+                                           if hasattr(x, "detach") else x))
+
+    def lin(prefix):
+        return {"kernel": t2j(sd[f"{prefix}.weight"]).T,
+                "bias": t2j(sd[f"{prefix}.bias"])}
+
+    def lnorm(prefix):
+        return {"scale": t2j(sd[f"{prefix}.weight"]),
+                "bias": t2j(sd[f"{prefix}.bias"])}
+
+    hd = cfg.hidden_size // cfg.num_heads
+
+    def attn(prefix):
+        def head_split(name):
+            k = t2j(sd[f"{prefix}.attention.{name}.weight"]).T
+            b = t2j(sd[f"{prefix}.attention.{name}.bias"])
+            return {"kernel": k.reshape(cfg.hidden_size, cfg.num_heads, hd),
+                    "bias": b.reshape(cfg.num_heads, hd)}
+        o = t2j(sd[f"{prefix}.output.dense.weight"]).T
+        return {"query": head_split("query"), "key": head_split("key"),
+                "value": head_split("value"),
+                "out": {"kernel": o.reshape(cfg.num_heads, hd,
+                                            cfg.hidden_size),
+                        "bias": t2j(sd[f"{prefix}.output.dense.bias"])}}
+
+    params = {
+        "patch_embed": {
+            "kernel": t2j(sd["embeddings.patch_embeddings.projection"
+                             ".weight"]).transpose(2, 3, 1, 0),
+            "bias": t2j(sd["embeddings.patch_embeddings.projection.bias"]),
+        },
+        "cls_token": t2j(sd["embeddings.cls_token"]),
+        "position_embeddings": t2j(sd["embeddings.position_embeddings"]),
+        "layernorm": lnorm("layernorm"),
+    }
+    for i in range(cfg.num_layers):
+        p = f"encoder.layer.{i}"
+        params[f"layer{i}"] = {
+            "norm1": lnorm(f"{p}.norm1"),
+            "attention": attn(f"{p}.attention"),
+            "layer_scale1": t2j(sd[f"{p}.layer_scale1.lambda1"]),
+            "norm2": lnorm(f"{p}.norm2"),
+            "fc1": lin(f"{p}.mlp.fc1"),
+            "fc2": lin(f"{p}.mlp.fc2"),
+            "layer_scale2": t2j(sd[f"{p}.layer_scale2.lambda1"]),
+        }
+    return {"params": params}
+
+
 def convert_dav2_hf(sd, cfg: DAv2Config) -> dict:
     """HuggingFace DepthAnythingForDepthEstimation state dict ->
     DepthAnythingFeatures params."""

@@ -106,6 +106,36 @@ class DAV2FeatureEncoder(nn.Module):
         return jax.image.resize(h, (B, H, W, self.width), "bilinear")
 
 
+class DinoFeatureEncoder(nn.Module):
+    """Frozen standalone DINOv2 ViT (reference dinov2_encoder.py in the
+    UnifiedEncoder ModuleDict) + trainable refiner: resize to a patch
+    multiple, imagenet-normalize, take the LAST backbone tap (cls dropped,
+    stop-gradient), conv refiner, resize back. Checkpoints load via
+    ``dav2.convert_dinov2_hf`` (HF Dinov2Model layout)."""
+    width: int = 64
+    target_hw: tuple = (252, 336)       # multiple of 14
+    dino: Any = None                    # DAv2Config (None -> vits geometry)
+
+    @nn.compact
+    def __call__(self, images):  # [B, H, W, 3] in [0, 1]
+        import jax
+        from infinicube_tpu.models.gsm.dav2 import (
+            IMAGENET_MEAN, IMAGENET_STD, DAv2Config, Dinov2Backbone)
+        cfg = self.dino or DAv2Config.vits()
+        B, H, W, _ = images.shape
+        th, tw = self.target_hw
+        x = jax.image.resize(images, (B, th, tw, 3), "bilinear")
+        x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+        tap = Dinov2Backbone(cfg, name="backbone")(x)[-1]
+        tap = jax.lax.stop_gradient(tap[:, 1:])          # drop cls; frozen
+        ph, pw = th // cfg.patch, tw // cfg.patch
+        f = tap.reshape(B, ph, pw, cfg.hidden_size)
+        h = nn.Conv(self.width, (3, 3), name="up0")(f)
+        r = nn.relu(nn.Conv(self.width, (3, 3), name="up1")(nn.relu(h)))
+        h = h + nn.Conv(self.width, (3, 3), name="up2")(r)
+        return jax.image.resize(h, (B, H, W, self.width), "bilinear")
+
+
 class PluckerConvPatchEncoder(nn.Module):
     """Conv patchifier over [rgb | plucker rays | depth] channels (reference
     plucker_conv_patch_encoder.py:5-108): per-pixel plucker coordinates
@@ -139,7 +169,8 @@ class PluckerConvPatchEncoder(nn.Module):
 
 @dataclasses.dataclass(frozen=True)
 class UnifiedEncoderConfig:
-    encoders: Sequence[str] = ("conv",)     # + "dav2" / "vit" / "plucker"
+    # + "dav2" / "vit" / "plucker" / "dino" / "convnext"
+    encoders: Sequence[str] = ("conv",)
     conv_width: int = 64
     vit_width: int = 128
     dav2_width: int = 64
@@ -147,6 +178,11 @@ class UnifiedEncoderConfig:
     dav2_config: Any = None                 # DAv2Config override (tests)
     plucker_width: int = 64
     plucker_patch: int = 8
+    dino_width: int = 64
+    dino_target_hw: tuple = (252, 336)
+    dino_config: Any = None                 # DAv2Config override (tests)
+    convnext_width: int = 64
+    convnext_config: Any = None             # ConvNextConfig override
 
 
 class UnifiedEncoder(nn.Module):
@@ -172,6 +208,17 @@ class UnifiedEncoder(nn.Module):
             feats.append(DAV2FeatureEncoder(
                 self.cfg.dav2_width, self.cfg.dav2_target_hw,
                 self.cfg.dav2_config, name="dav2")(flat))
+        if "dino" in self.cfg.encoders:
+            feats.append(DinoFeatureEncoder(
+                self.cfg.dino_width, self.cfg.dino_target_hw,
+                self.cfg.dino_config, name="dino")(flat))
+        if "convnext" in self.cfg.encoders:
+            from infinicube_tpu.models.gsm.convnext import (
+                ConvNextConfig, ConvNextFeatureEncoder)
+            feats.append(ConvNextFeatureEncoder(
+                self.cfg.convnext_width,
+                self.cfg.convnext_config or ConvNextConfig(),
+                name="convnext")(flat))
         if "plucker" in self.cfg.encoders:
             feats.append(PluckerConvPatchEncoder(
                 self.cfg.plucker_width, self.cfg.plucker_patch,
