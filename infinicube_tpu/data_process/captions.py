@@ -44,6 +44,47 @@ def caption_video(video_path: str | Path) -> str:
             "front camera, with roads, vehicles and surroundings.")
 
 
+def make_qwen2vl_captioner(model_path: str, prompt: str | None = None,
+                           num_frames: int = 8, max_new_tokens: int = 128,
+                           model=None, processor=None) -> Callable:
+    """Build the VLM captioner the reference runs (Qwen2-VL,
+    generate_caption.py:110-333) from downloaded weights:
+
+        register_captioner(make_qwen2vl_captioner("Qwen/Qwen2-VL-7B..."))
+
+    Weight-gated like the SegFormer segmenter hook: this image ships no VLM
+    weights, so construction requires ``model_path`` (or injected
+    ``model``/``processor`` — also the unit-test seam). Samples
+    ``num_frames`` frames from the clip and asks for a driving-scene
+    caption."""
+    prompt = prompt or ("Describe this driving video clip in one detailed "
+                        "sentence: scene type, weather, time of day, and "
+                        "notable objects.")
+    if model is None or processor is None:
+        from transformers import (AutoProcessor,
+                                  Qwen2VLForConditionalGeneration)
+        model = Qwen2VLForConditionalGeneration.from_pretrained(model_path)
+        processor = AutoProcessor.from_pretrained(model_path)
+
+    def captioner(video_path: str | Path) -> str:
+        import numpy as np
+        from infinicube_tpu.utils.fileio import read_video
+        frames = read_video(video_path)
+        sel = np.linspace(0, len(frames) - 1,
+                          min(num_frames, len(frames))).astype(int)
+        messages = [{"role": "user", "content": [
+            {"type": "video"}, {"type": "text", "text": prompt}]}]
+        text = processor.apply_chat_template(messages, tokenize=False,
+                                             add_generation_prompt=True)
+        inputs = processor(text=[text], videos=[list(frames[sel])],
+                           return_tensors="pt")
+        out_ids = model.generate(**inputs, max_new_tokens=max_new_tokens)
+        new = out_ids[:, inputs["input_ids"].shape[1]:]
+        return processor.batch_decode(new, skip_special_tokens=True)[0]
+
+    return captioner
+
+
 def generate_captions(video_paths: list, output_json: str | Path,
                       proc: DistributedProcessor | None = None):
     import json

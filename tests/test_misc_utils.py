@@ -128,6 +128,53 @@ def test_captions_and_metadata(tmp_path):
     assert "file_name" in text and "a.mp4" in text
 
 
+def test_qwen2vl_captioner_hook(tmp_path, monkeypatch):
+    """The VLM caption hook (reference: Qwen2-VL under torchrun,
+    generate_caption.py:110-333) — exercised via the injection seam (no VLM
+    weights in this image): frame sampling, chat template, generate, and
+    prompt-token stripping."""
+    import numpy as np
+    import infinicube_tpu.utils.fileio as fileio
+    from infinicube_tpu.data_process.captions import (
+        caption_video, make_qwen2vl_captioner, register_captioner)
+
+    vid = tmp_path / "clip.mp4"
+    # decouple from the environment's video codecs
+    monkeypatch.setattr(fileio, "read_video",
+                        lambda p: np.zeros((6, 16, 16, 3), np.uint8))
+
+    class FakeTensorDict(dict):
+        pass
+
+    class FakeProcessor:
+        def apply_chat_template(self, messages, tokenize, add_generation_prompt):
+            assert messages[0]["content"][0]["type"] == "video"
+            return "PROMPT"
+
+        def __call__(self, text, videos, return_tensors):
+            assert len(videos[0]) == 4   # num_frames sampling
+            import torch
+            return FakeTensorDict(input_ids=torch.ones((1, 3),
+                                                       dtype=torch.long))
+
+        def batch_decode(self, ids, skip_special_tokens):
+            assert ids.shape[1] == 2     # prompt tokens stripped
+            return ["a foggy highway at dusk"]
+
+    class FakeModel:
+        def generate(self, input_ids=None, max_new_tokens=None, **kw):
+            import torch
+            return torch.ones((1, input_ids.shape[1] + 2), dtype=torch.long)
+
+    cap = make_qwen2vl_captioner("unused", num_frames=4,
+                                 model=FakeModel(), processor=FakeProcessor())
+    register_captioner(cap)
+    try:
+        assert caption_video(vid) == "a foggy highway at dusk"
+    finally:
+        register_captioner(None)
+
+
 def test_visualize_offscreen():
     rng = np.random.default_rng(0)
     ijk = rng.integers(-20, 20, (200, 3))

@@ -128,6 +128,45 @@ def test_resolve_checkpoint_paths(tmp_path):
         resolve_checkpoint(f"tb:{tmp_path}/empty")
 
 
+def test_resolve_wandb_artifacts(tmp_path, monkeypatch):
+    """wdb: references (reference wandb_util.py:75-233, load-bearing for
+    resume) — run-path parse, model-type artifact filter, version pin, and
+    the no-artifact error, exercised against a faked wandb API."""
+    import sys
+    import types
+    from infinicube_tpu.utils.run_resolve import resolve_checkpoint
+
+    class Art:
+        def __init__(self, type_, version, path):
+            self.type, self.version, self._p = type_, version, path
+
+        def download(self):
+            return str(self._p)
+
+    arts = [Art("dataset", "v0", tmp_path / "d"),
+            Art("model", "v0", tmp_path / "m0"),
+            Art("model", "v1", tmp_path / "m1")]
+
+    class Run:
+        def logged_artifacts(self):
+            return arts
+
+    class Api:
+        def run(self, run_path):
+            assert run_path == "ent/proj/run7"
+            return Run()
+
+    fake = types.ModuleType("wandb")
+    fake.Api = Api
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+
+    # latest model artifact by default; version pin selects explicitly
+    assert resolve_checkpoint("wdb:ent/proj/run7").name == "m1"
+    assert resolve_checkpoint("wdb:ent/proj/run7:v0").name == "m0"
+    with pytest.raises(FileNotFoundError):
+        resolve_checkpoint("wdb:ent/proj/run7:v9")
+
+
 def test_default_val_fn_and_topk_monitor(tmp_path):
     """val_data without val_fn triggers the default EMA validation; its
     metrics drive top-k-on-metric checkpoint retention (ckpt_monitor)."""
