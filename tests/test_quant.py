@@ -66,7 +66,9 @@ def test_dit_quant_path_cosine_gate():
     base = dict(dim=256, ffn_dim=512, num_layers=2, num_heads=2,
                 text_dim=64, scan_layers=False)
     cfg_b = WanDiTConfig(**base)
-    cfg_q = WanDiTConfig(**base, attn_quant="qk", quant_linear=True)
+    # exactly the bench's serving config: int8 attention+linears, bf16 carry
+    cfg_q = WanDiTConfig(**base, attn_quant="qk", quant_linear=True,
+                         residual_dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
     lat = jax.random.normal(rng, (1, 2, 8, 8, 16), jnp.float32)
     buf = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 8, 8, 32),

@@ -206,3 +206,69 @@ def test_umt5_wan_layout_converts():
     a = T5Encoder(cfg).apply(p_hf, ids, mask)
     b = T5Encoder(cfg).apply(p_wan, ids, mask)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_rope_table_matches_upstream_formula():
+    """Golden: the mirror's registered freqs buffer must equal an
+    independently computed upstream table (wan/modules/model.py
+    rope_params: polar(1, arange(L) x theta^(-2i/dim)), axis split
+    [d-4(d//6), 2(d//6), 2(d//6)]), and the JAX rope_3d angles must equal
+    the same table's angles on a 3D grid (half-split vs interleaved layouts
+    agree on the underlying per-pair angles)."""
+    import numpy as onp
+    torch.manual_seed(0)
+    mirror = WanModelMirror(dim=64, ffn_dim=128, num_layers=1, num_heads=2,
+                            in_dim=4, out_dim=4, text_dim=32, freq_dim=32)
+    d = 32  # head dim
+    def axis_table(L, dim_axis):
+        inv = 1.0 / (10000.0 ** (onp.arange(0, dim_axis, 2) / dim_axis))
+        ang = onp.outer(onp.arange(L), inv)
+        return onp.exp(1j * ang)
+    golden = onp.concatenate([
+        axis_table(1024, d - 4 * (d // 6)),
+        axis_table(1024, 2 * (d // 6)),
+        axis_table(1024, 2 * (d // 6))], axis=1)
+    onp.testing.assert_allclose(mirror.freqs.numpy(), golden, atol=2e-4)
+
+    # JAX side: rope_3d returns the same per-pair angles on a (T,H,W) grid
+    from infinicube_tpu.models.wan.dit import rope_3d
+    T, H, W = 3, 4, 5
+    ang = onp.asarray(rope_3d((T, H, W), d))     # [T*H*W, d//2]
+    c = d // 2
+    split = [c - 2 * (c // 3), c // 3, c // 3]
+    # rope_3d angles are unwrapped; compare on the unit circle (cis) where
+    # both layouts are defined
+    i = 0
+    for t in range(T):
+        for h in range(H):
+            for w in range(W):
+                expect = onp.concatenate([
+                    golden[t, :split[0]],
+                    golden[h, split[0]:split[0] + split[1]],
+                    golden[w, split[0] + split[1]:]])
+                onp.testing.assert_allclose(onp.exp(1j * ang[i]), expect,
+                                            atol=1e-5)
+                i += 1
+
+
+def test_wan_latent_stats_golden():
+    """Golden: the per-channel latent mean/std constants are the published
+    Wan2.1 values (wan/modules/vae.py mean/std lists) and the VAE actually
+    normalizes with them."""
+    import numpy as onp
+    from infinicube_tpu.models.wan.vae3d import (WAN_LATENT_MEAN,
+                                                 WAN_LATENT_STD,
+                                                 VideoVAEConfig)
+    published_mean = [
+        -0.7571, -0.7089, -0.9113, 0.1075, -0.1745, 0.9653, -0.1517, 1.5508,
+        0.4134, -0.0715, 0.5517, -0.3632, -0.1922, -0.9497, 0.2503, -0.2921]
+    published_std = [
+        2.8184, 1.4541, 2.3275, 2.6558, 1.2196, 1.7708, 2.6052, 2.0743,
+        3.2687, 2.1526, 2.8652, 1.5579, 1.6382, 1.1253, 2.8251, 1.9160]
+    onp.testing.assert_array_equal(onp.asarray(WAN_LATENT_MEAN),
+                                   onp.asarray(published_mean))
+    onp.testing.assert_array_equal(onp.asarray(WAN_LATENT_STD),
+                                   onp.asarray(published_std))
+    cfg = VideoVAEConfig.wan21()
+    assert tuple(cfg.latent_mean) == tuple(published_mean)
+    assert tuple(cfg.latent_std) == tuple(published_std)

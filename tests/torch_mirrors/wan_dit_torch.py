@@ -22,6 +22,8 @@ import torch.nn as nn
 
 
 def sinusoidal_embedding_1d(dim: int, position: torch.Tensor) -> torch.Tensor:
+    """Public Wan2.1: wan/modules/model.py ``sinusoidal_embedding_1d`` —
+    cos||sin concat over 10000^(-i/half) freqs (NOT interleaved)."""
     half = dim // 2
     freqs = torch.pow(
         10000.0, -torch.arange(half, dtype=torch.float32).div(half))
@@ -30,7 +32,10 @@ def sinusoidal_embedding_1d(dim: int, position: torch.Tensor) -> torch.Tensor:
 
 
 def rope_params(max_len: int, dim: int, theta: float = 10000.0):
-    """Complex cis table [max_len, dim//2] for one axis."""
+    """Complex cis table [max_len, dim//2] for one axis. Public Wan2.1:
+    wan/modules/model.py ``rope_params`` — torch.polar over
+    arange(max_len) x theta^(-2i/dim); asserted as a golden table in
+    tests/test_wan_torch_parity.py::test_rope_table_matches_upstream_formula."""
     inv = 1.0 / torch.pow(
         theta, torch.arange(0, dim, 2, dtype=torch.float32).div(dim))
     freqs = torch.outer(torch.arange(max_len, dtype=torch.float32), inv)
@@ -38,8 +43,10 @@ def rope_params(max_len: int, dim: int, theta: float = 10000.0):
 
 
 def rope_apply(x: torch.Tensor, grid_sizes, freqs: torch.Tensor):
-    """x [B, L, n, d]; interleaved-pair rotation via complex view (upstream
-    Wan semantics)."""
+    """x [B, L, n, d]; interleaved-pair rotation via complex view. Public
+    Wan2.1: wan/modules/model.py ``rope_apply`` — per-head channels split
+    [c-2(c//3), c//3, c//3] across (t, h, w) axis tables, view_as_complex
+    pairs (x[2j], x[2j+1])."""
     b, L, n, d = x.shape
     c = d // 2
     split = [c - 2 * (c // 3), c // 3, c // 3]
@@ -56,6 +63,9 @@ def rope_apply(x: torch.Tensor, grid_sizes, freqs: torch.Tensor):
 
 
 class WanRMSNorm(nn.Module):
+    """Public Wan2.1: wan/modules/model.py ``WanRMSNorm`` — f32 rsqrt of the
+    FULL-dim mean square (all heads at once), then the learned weight."""
+
     def __init__(self, dim: int, eps: float = 1e-6):
         super().__init__()
         self.eps = eps
@@ -68,6 +78,10 @@ class WanRMSNorm(nn.Module):
 
 
 class WanSelfAttention(nn.Module):
+    """Public Wan2.1: wan/modules/model.py ``WanSelfAttention`` — separate
+    q/k/v/o Linears, norm_q/norm_k BEFORE the head reshape, RoPE on q and k
+    only, SDPA over heads."""
+
     def __init__(self, dim: int, num_heads: int, eps: float = 1e-6):
         super().__init__()
         self.dim, self.num_heads = dim, num_heads
@@ -92,6 +106,9 @@ class WanSelfAttention(nn.Module):
 
 
 class WanCrossAttention(nn.Module):
+    """Public Wan2.1: wan/modules/model.py ``WanT2VCrossAttention`` — same
+    projection set against the text context, no RoPE."""
+
     def __init__(self, dim: int, num_heads: int, eps: float = 1e-6):
         super().__init__()
         self.dim, self.num_heads = dim, num_heads
@@ -114,6 +131,10 @@ class WanCrossAttention(nn.Module):
 
 
 class WanAttentionBlock(nn.Module):
+    """Public Wan2.1: wan/modules/model.py ``WanAttentionBlock`` — shared
+    adaLN e (6-chunk) plus the per-block ``modulation`` bias; norm1/norm2
+    affine-free, norm3 affine; GELU(tanh) FFN; gates applied in f32."""
+
     def __init__(self, dim, ffn_dim, num_heads, eps=1e-6):
         super().__init__()
         self.norm1 = nn.LayerNorm(dim, eps, elementwise_affine=False)
@@ -139,6 +160,10 @@ class WanAttentionBlock(nn.Module):
 
 
 class Head(nn.Module):
+    """Public Wan2.1: wan/modules/model.py ``Head`` — (modulation +
+    t_emb).chunk(2) with the RAW time embedding e (pre-time_projection),
+    affine-free LN, then the output Linear."""
+
     def __init__(self, dim, out_dim, patch_size, eps=1e-6):
         super().__init__()
         self.norm = nn.LayerNorm(dim, eps, elementwise_affine=False)
