@@ -23,8 +23,13 @@ from infinicube_tpu.camera import projection as proj
 
 @dataclasses.dataclass(frozen=True)
 class PixelBranchConfig:
-    width: int = 32
-    dims: tuple = (1, 2, 4, 8)          # release XUnet dims
+    width: int = 32                     # XUnet dim / init_dim (release: 32)
+    dims: tuple = (1, 2, 4, 8)          # release XUnet dim_mults
+    blocks_per_stage: tuple = (2, 2, 2, 2)   # num_blocks_per_stage
+    self_attn_per_stage: tuple = (0, 0, 0, 0)  # num_self_attn_per_stage
+    out_dim: int = 24                   # unet2d_params.out_dim
+    attn_heads: int = 4
+    consolidate_upsample_fmaps: bool = True
     gs_per_pixel: int = 2
     znear: float = 0.3
     zfar: float = 200.0
@@ -33,30 +38,101 @@ class PixelBranchConfig:
     dtype: Any = jnp.float32
 
 
+class ResBlock2D(nn.Module):
+    """XUnet ResnetBlock: GN -> silu -> 3x3 conv, twice, + skip (projected
+    1x1 when widths differ)."""
+    out_ch: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.silu(nn.GroupNorm(num_groups=8, dtype=jnp.float32)(x))
+        h = nn.Conv(self.out_ch, (3, 3), dtype=self.dtype, name="conv1")(h)
+        h = nn.silu(nn.GroupNorm(num_groups=8, dtype=jnp.float32)(h))
+        h = nn.Conv(self.out_ch, (3, 3), dtype=self.dtype, name="conv2")(h)
+        if x.shape[-1] != self.out_ch:
+            x = nn.Conv(self.out_ch, (1, 1), dtype=self.dtype,
+                        name="skip")(x)
+        return x + h
+
+
+class SelfAttn2D(nn.Module):
+    """Spatial self-attention over H*W tokens (XUnet Attention; used at the
+    bottleneck and per-stage when num_self_attn_per_stage > 0)."""
+    heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        h = nn.GroupNorm(num_groups=8, dtype=jnp.float32)(x)
+        t = h.reshape(B, H * W, C)
+        qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(t)
+        q, k, v = (a.reshape(B, H * W, self.heads, C // self.heads)
+                   for a in jnp.split(qkv, 3, axis=-1))
+        a = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
+            jnp.float32(C // self.heads))
+        a = jax.nn.softmax(a.astype(jnp.float32), axis=-1).astype(q.dtype)
+        o = jnp.einsum("bhqk,bkhd->bqhd", a, v).reshape(B, H * W, C)
+        return x + nn.Dense(C, dtype=self.dtype,
+                            name="out")(o).reshape(B, H, W, C)
+
+
 class UNet2D(nn.Module):
+    """XUnet-structured 2D UNet at the reference's release config
+    (dual_branch_backbone.yaml:41-49: dim 32, dim_mults [1,2,4,8], 2 ResNet
+    blocks/stage, no per-stage self-attention, mid attention,
+    consolidate_upsample_fmaps): 7x7 init conv, per-stage ResBlock stacks,
+    attention + ResBlocks at the bottleneck, and an FPN-style consolidation
+    that upsamples every decoder stage's output to full resolution and
+    fuses them for the final feature map (x_unet XUnet semantics)."""
     cfg: PixelBranchConfig
 
     @nn.compact
     def __call__(self, x):
         cfg = self.cfg
         w = cfg.width
-        h = nn.Conv(w, (3, 3), dtype=cfg.dtype, name="stem")(x)
+        h = nn.Conv(w, (7, 7), dtype=cfg.dtype, name="stem")(x)
         skips = []
         for i, m in enumerate(cfg.dims):
-            h = nn.silu(nn.GroupNorm(num_groups=8, dtype=jnp.float32)(h))
-            h = nn.Conv(w * m, (3, 3), dtype=cfg.dtype, name=f"d{i}")(h)
+            for b in range(cfg.blocks_per_stage[i]):
+                h = ResBlock2D(w * m, cfg.dtype, name=f"d{i}b{b}")(h)
+            for a in range(cfg.self_attn_per_stage[i]):
+                h = SelfAttn2D(cfg.attn_heads, cfg.dtype,
+                               name=f"d{i}a{a}")(h)
             skips.append(h)
             if i < len(cfg.dims) - 1:
-                h = nn.Conv(w * m, (3, 3), strides=(2, 2), dtype=cfg.dtype,
-                            name=f"down{i}")(h)
-        for i in range(len(cfg.dims) - 2, -1, -1):
-            B, H, W, C = h.shape
-            h = jax.image.resize(h, (B, 2 * H, 2 * W, C), "nearest")
+                h = nn.Conv(w * cfg.dims[i + 1], (3, 3), strides=(2, 2),
+                            dtype=cfg.dtype, name=f"down{i}")(h)
+        # bottleneck: ResBlock -> attention -> ResBlock (XUnet mid)
+        h = ResBlock2D(h.shape[-1], cfg.dtype, name="mid1")(h)
+        h = SelfAttn2D(cfg.attn_heads, cfg.dtype, name="mid_attn")(h)
+        h = ResBlock2D(h.shape[-1], cfg.dtype, name="mid2")(h)
+        stage_outs = []
+        for i in range(len(cfg.dims) - 1, -1, -1):
+            if i < len(cfg.dims) - 1:
+                B, H, W, C = h.shape
+                h = jax.image.resize(h, (B, 2 * H, 2 * W, C), "nearest")
+                h = nn.Conv(w * cfg.dims[i], (3, 3), dtype=cfg.dtype,
+                            name=f"up{i}")(h)
             h = jnp.concatenate([h, skips[i]], axis=-1)
-            h = nn.silu(nn.GroupNorm(num_groups=8, dtype=jnp.float32)(h))
-            h = nn.Conv(w * cfg.dims[i], (3, 3), dtype=cfg.dtype,
-                        name=f"u{i}")(h)
-        return h
+            for b in range(cfg.blocks_per_stage[i]):
+                h = ResBlock2D(w * cfg.dims[i], cfg.dtype,
+                               name=f"u{i}b{b}")(h)
+            for a in range(cfg.self_attn_per_stage[i]):
+                h = SelfAttn2D(cfg.attn_heads, cfg.dtype,
+                               name=f"u{i}a{a}")(h)
+            stage_outs.append(h)
+        if cfg.consolidate_upsample_fmaps:
+            B, H, W, _ = stage_outs[-1].shape
+            pyramid = [
+                nn.Conv(w, (3, 3), dtype=cfg.dtype, name=f"cons{j}")(
+                    jax.image.resize(s, (B, H, W, s.shape[-1]), "nearest"))
+                for j, s in enumerate(stage_outs)]
+            h = jnp.concatenate(pyramid, axis=-1)
+        h = nn.silu(nn.GroupNorm(num_groups=8, dtype=jnp.float32)(h))
+        return nn.Conv(cfg.out_dim, (3, 3), dtype=cfg.dtype,
+                       name="final")(h)
 
 
 class PixelBranch(nn.Module):
