@@ -32,6 +32,13 @@ attacks the VPU term:
   out of the key-sum. Measured slower on v5e (the P requantize is VPU
   work in the bound resource) — kept for completeness/future chips.
 
+Measured at the bench shape (N=37,440, hd=128, 24 batch*heads, v5e,
+docs/PERF.md round 3): bf16 fixed-max exp2 kernel 165.8 TF/s; int8-QK
+fixed-max 197.7 TF/s at (1536, 1536) blocks (194.7 at 1024) — up from
+141 TF/s for the round-2 exp/running-max version. The per-logit work is
+exactly cast + fma + exp2 + bf16-cast + lane-add; see _kernel_body for the
+masking-free softmax trick that got it there.
+
 Forward-only: this is a serving/inference path (the bench and the CLIs);
 training keeps the stock bf16 flash kernel with its fused backward.
 Reference anchor: the A100 baseline runs bf16 torch SDPA
@@ -67,10 +74,8 @@ def _lane_partial_sum(p):
     return acc
 
 
-def _kernel_body(n_real, nkb, quant, fixed_max, out_dtype, scale, m0,
+def _kernel_body(n_real, nkb, quant, fixed_max, out_dtype, scale, m0, kj,
                  q_ref, k_ref, v_ref, sv_ref, o_ref, m_scr, l_scr, acc_scr):
-    kj = pl.program_id(2)
-
     @pl.when(kj == 0)
     def _init():
         if not fixed_max:
@@ -83,17 +88,30 @@ def _kernel_body(n_real, nkb, quant, fixed_max, out_dtype, scale, m0,
     acc_t = jnp.int32 if quant in ("qk", "qkv") else jnp.float32
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=acc_t)
-    s = s.astype(jnp.float32) * scale
     bq, bk = s.shape
 
-    if n_real % bk:
-        col = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-        s = jnp.where((kj < nkb - 1) | (col < n_real - kj * bk), s, _NEG_INF)
-
     if fixed_max:
-        p = jnp.exp2(s - m0)
+        # NO per-logit tail masking here. The call contract zero-pads K/V
+        # rows past n_real, so every padded column contributes EXACTLY
+        # q.k = 0 -> logit 0 -> 2^(0 - m0) to the denominator and exactly
+        # 0 to P@V (zero V rows). That pollution, n_pad * 2^-m0, is a
+        # closed form subtracted ONCE at store time instead of masked per
+        # logit — every per-logit formulation measured slower on this
+        # VPU-bound kernel (iota+cmp+select; a [bk] mask-vector multiply;
+        # and a lax.cond-gated mask was catastrophic, 184 -> 83 TF/s:
+        # Mosaic cannot pipeline through scf.if). Precision note: the
+        # subtraction is exact for the pad terms themselves; residual
+        # cancellation error is ~eps * n_pad * 2^-max_logit and only
+        # matters if a whole row's max logit is << 0, which RMSNormed
+        # attention does not produce (gated at cosine >= 0.999 end to end).
+        p = jnp.exp2(s.astype(jnp.float32) * scale - m0)
         l_scr[...] += _lane_partial_sum(p)
     else:
+        s = s.astype(jnp.float32) * scale
+        if n_real % bk:
+            col = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+            s = jnp.where((kj < nkb - 1) | (col < n_real - kj * bk), s,
+                          _NEG_INF)
         m_prev = m_scr[:, :1]
         l_prev = l_scr[:, :1]
         m_cur = jnp.max(s, axis=1, keepdims=True)
@@ -123,6 +141,10 @@ def _kernel_body(n_real, nkb, quant, fixed_max, out_dtype, scale, m0,
     def _store():
         if fixed_max:
             l = jnp.sum(l_scr[...], axis=1, keepdims=True)
+            n_pad = nkb * bk - n_real
+            if n_pad:
+                # remove the padded columns' exact 2^-m0 denominator mass
+                l = l - jnp.float32(n_pad) * jnp.exp2(-m0)
         else:
             l = l_scr[:, :1]
         o_ref[0] = (acc_scr[...] /
@@ -141,7 +163,7 @@ def _make_kernel(n_real, nkb, quant, fixed_max, out_dtype, sm_scale):
                          jnp.float32(sm_scale * _LOG2E))
                 m0 = m0_ref[bh, qi] if fixed_max else None
                 _kernel_body(n_real, nkb, quant, fixed_max, out_dtype,
-                             scale, m0, q_ref, k_ref, v_ref, sv_ref,
+                             scale, m0, kj, q_ref, k_ref, v_ref, sv_ref,
                              o_ref, *scr)
             return kern
 
@@ -151,14 +173,14 @@ def _make_kernel(n_real, nkb, quant, fixed_max, out_dtype, sm_scale):
                      jnp.float32(sm_scale * _LOG2E))
             m0 = m0_ref[bh, qi] if fixed_max else None
             _kernel_body(n_real, nkb, quant, fixed_max, out_dtype, scale,
-                         m0, q_ref, k_ref, v_ref, None, o_ref, *scr)
+                         m0, kj, q_ref, k_ref, v_ref, None, o_ref, *scr)
         return kern
 
     def kern(m0_ref, q_ref, k_ref, v_ref, o_ref, *scr):
-        bh, qi = pl.program_id(0), pl.program_id(1)
+        bh, qi, kj = (pl.program_id(i) for i in range(3))
         m0 = m0_ref[bh, qi] if fixed_max else None
         _kernel_body(n_real, nkb, "none", fixed_max, out_dtype,
-                     jnp.float32(sm_scale * _LOG2E), m0, q_ref, k_ref,
+                     jnp.float32(sm_scale * _LOG2E), m0, kj, q_ref, k_ref,
                      v_ref, None, o_ref, *scr)
     return kern
 
@@ -282,19 +304,23 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
 
 
 def mha_quantized(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                  quant: str = "qk", block_q: int = 1024,
-                  block_k: int = 1024,
+                  quant: str = "qk", block_q: int = 1536,
+                  block_k: int = 1536,
                   fixed_max: bool = True) -> jnp.ndarray:
     """[B, N, h, d] layout wrapper (multi_head_attention's convention):
-    folds heads into the batch, pads N to a block multiple, runs the
-    specialized kernel, and unpads."""
+    folds heads into the batch dim, pads N to a block multiple, runs the
+    specialized kernel, and unpads. The head transposes measured FREE here
+    (89.1 ms e2e vs 87.1 ms kernel-only at the bench shape — XLA fuses
+    them into the quantize prologue); a head-packed [B, N, H*d] kernel
+    variant that sliced heads out of the minor dim via BlockSpec index maps
+    measured 38% SLOWER (123 ms: int8 tiles become 128-byte strided DMA
+    rows), so the fold layout is the keeper."""
     B, N, h, d = q.shape
     sm_scale = 1.0 / math.sqrt(d)
     np2 = max(128, 1 << (N - 1).bit_length())
     bq = min(block_q, np2)
     bk = min(block_k, np2)
-    pad = (-N) % max(bq, bk)   # both are powers of two
-    Np = N + pad
+    pad = (-N) % max(bq, bk)
 
     def fold(x):
         x = x.transpose(0, 2, 1, 3).reshape(B * h, N, d)
@@ -306,5 +332,4 @@ def mha_quantized(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                           n_real=N, block_q=bq, block_k=bk,
                           quant=quant, fixed_max=fixed_max,
                           interpret=jax.devices()[0].platform != "tpu")
-    out = out[:, :N].reshape(B, h, N, d).transpose(0, 2, 1, 3)
-    return out
+    return out[:, :N].reshape(B, h, N, d).transpose(0, 2, 1, 3)

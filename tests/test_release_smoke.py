@@ -1,0 +1,226 @@
+"""Release-shape smoke tests — one per subsystem, on the REAL chip.
+
+VERDICT round-2 Weak #7: the CPU suite runs tiny shapes; nothing in CI
+asserted behavior at release scale (131k-voxel VAE, 64^3 diffusion cube,
+500k-gaussian render, tiled Wan-VAE seams, world-merge overflow). These
+smokes run the exact release shapes the benchmarks use and assert
+shapes / finiteness / overflow flags (not perf):
+
+    INFINICUBE_TPU_TESTS=1 python -m pytest tests/ -m slow -q
+
+Under the default CPU suite they auto-skip (conftest forces the CPU
+platform unless INFINICUBE_TPU_TESTS=1; release shapes take hours on host).
+Reference test strategy: SURVEY.md §4 (the reference exercises release
+shapes only in its inference scripts; these make that coverage CI-shaped).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        jax.devices()[0].platform != "tpu",
+        reason="release-shape smokes run on the TPU chip "
+               "(INFINICUBE_TPU_TESTS=1 ... -m slow)"),
+]
+
+
+def _finite(x) -> bool:
+    return bool(jax.device_get(jnp.isfinite(x).all()))
+
+
+@pytest.fixture(scope="module")
+def surface_scene():
+    """Waymo-like synthetic surface scene (same construction as
+    benchmarks/bench_vae_train.py): road plane + walls + objects, 300k
+    points -> ~131k occupied finest voxels."""
+    rng = np.random.default_rng(0)
+    n = 300_000
+    road = np.stack([rng.uniform(-25, 25, n // 2),
+                     rng.uniform(-20, 20, n // 2),
+                     rng.normal(0, 0.1, n // 2)], -1)
+    walls = np.stack([rng.uniform(-25, 25, n // 4),
+                      np.sign(rng.normal(size=n // 4)) *
+                      rng.normal(17, 0.3, n // 4),
+                      rng.uniform(0, 12, n // 4)], -1)
+    objs = rng.normal(0, 1.2, (n // 4, 3)) * [1, 1, 0.8] + \
+        np.stack([rng.uniform(-22, 22, n // 4),
+                  rng.uniform(-15, 15, n // 4),
+                  np.full(n // 4, 1.0)], -1)
+    pts = np.concatenate([road, walls, objs]).astype(np.float32)[None]
+    sem = rng.integers(0, 23, (1, n)).astype(np.int32)
+    return jnp.asarray(pts), jnp.asarray(sem)
+
+
+def test_vae_forward_131k_voxels(surface_scene):
+    """Sparse VAE forward at release capacity (131072 finest voxels):
+    hash-tree build must not overflow, the window conv plans must not
+    overflow their miss capacity, and the teacher-forced recon must be
+    finite at every head."""
+    from infinicube_tpu.grid.ops import majority_label
+    from infinicube_tpu.models.vae import (
+        SparseStructureVAE, SparseVAEConfig, build_hash_tree)
+    from infinicube_tpu.nn.sparse import conv_plan
+
+    pts, sem_pts = surface_scene
+    cfg = SparseVAEConfig(dtype=jnp.bfloat16)
+    model = SparseStructureVAE(cfg)
+    mask = jnp.ones(pts.shape[:2], bool)
+    grids = build_hash_tree(cfg, pts, mask)
+    for l, g in enumerate(grids):
+        assert not bool(jax.device_get(g.overflowed.any())), \
+            f"hash-tree level {l} overflowed its capacity"
+        nv = int(jax.device_get(g.total_voxels.sum()))
+        assert nv > 1000, f"level {l} suspiciously empty ({nv} voxels)"
+    # release-scale window plan stays exact (ADVICE round-2 medium)
+    plan = conv_plan(grids[0], "window")
+    assert not bool(jax.device_get(plan.overflowed.any())), \
+        "window plan fallback list overflowed at release scale"
+
+    sem = majority_label(grids[0], pts, sem_pts, mask, cfg.num_semantic)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), grids, sem,
+                                 jax.random.PRNGKey(1))
+    out = jax.jit(model.apply)(params, grids, sem, jax.random.PRNGKey(2))
+    assert out["semantic_logits"].shape == (1, cfg.capacities[0],
+                                            cfg.num_semantic)
+    assert _finite(out["mu"]) and _finite(out["logvar"])
+    assert _finite(out["semantic_logits"])
+    for logits, target, cand in out["struct"]:
+        assert _finite(logits)
+
+
+def test_vae_free_decode_structure_growth(surface_scene):
+    """Structure-decoder GROWTH at release scale: free-running decode (no
+    guide grids) from an encoded latent must grow a non-trivial,
+    non-overflowing voxel hierarchy (VERDICT: 'structure-decoder growth at
+    131k voxels')."""
+    from infinicube_tpu.grid.ops import majority_label
+    from infinicube_tpu.models.vae import (
+        SparseStructureVAE, SparseVAEConfig, build_hash_tree)
+
+    pts, sem_pts = surface_scene
+    cfg = SparseVAEConfig(dtype=jnp.bfloat16)
+    model = SparseStructureVAE(cfg)
+    mask = jnp.ones(pts.shape[:2], bool)
+    grids = build_hash_tree(cfg, pts, mask)
+    sem = majority_label(grids[0], pts, sem_pts, mask, cfg.num_semantic)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), grids, sem,
+                                 jax.random.PRNGKey(1))
+
+    def encode_decode(p, gs, s):
+        mu, _ = model.apply(p, gs, s, method=SparseStructureVAE.encode)
+        return model.apply(p, mu, method=SparseStructureVAE.decode)
+
+    out = jax.jit(encode_decode)(params, grids, sem)
+    g = out["grid"]
+    nv = int(jax.device_get(g.total_voxels.sum()))
+    # random-weight decode growth is unpredictable in count but must stay
+    # within capacity, keep a sane voxel set, and stay finite
+    assert not bool(jax.device_get(g.overflowed.any()))
+    assert 0 <= nv <= cfg.capacities[0]
+    assert _finite(out["semantic_logits"])
+
+
+def test_voxel_diffusion_release_sample_step():
+    """Release 750M dense UNet (64^3 latent cube), two DDIM steps with CFG
+    (the exact bench_voxel_ddim config): finite latents at the release
+    output shape."""
+    from infinicube_tpu.models.diffusion.model import (
+        CondCubes, DiffusionConfig, VoxelDiffusion)
+
+    cfg = DiffusionConfig()
+    model = VoxelDiffusion(cfg)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0))
+    cond = CondCubes.null(1, cfg)
+    out = model.sample(params, jax.random.PRNGKey(1), cond, num_steps=2,
+                       guidance_scale=2.0)
+    assert out.shape == (1, *cfg.cube_dims, cfg.latent_channels)
+    assert _finite(out)
+
+
+def test_gsplat_500k_render():
+    """3DGS rasterizer at release scale (500k gaussians -> 480x832): image
+    finite, alpha a valid transmittance in [0, 1]."""
+    from infinicube_tpu.ops.gsplat import render_gaussians
+
+    rng = np.random.default_rng(0)
+    n = 500_000
+    means = np.stack([rng.uniform(-40, 40, n), rng.uniform(-40, 40, n),
+                      rng.uniform(2, 80, n)], -1).astype(np.float32)
+    quats = np.tile([1.0, 0, 0, 0], (n, 1)).astype(np.float32)
+    scales = rng.uniform(0.05, 0.3, (n, 3)).astype(np.float32)
+    op = rng.uniform(0.2, 0.9, n).astype(np.float32)
+    col = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    K = jnp.array([[480.0, 0, 416], [0, 480, 240], [0, 0, 1]])
+    img, alpha, *_ = jax.jit(
+        lambda *a: render_gaussians(*a, jnp.eye(4), K, (480, 832)))(
+        *(jnp.asarray(x) for x in (means, quats, scales, op, col)))
+    assert img.shape[:2] == (480, 832)
+    assert _finite(img) and _finite(alpha)
+    amin, amax = (float(jax.device_get(f(alpha)))
+                  for f in (jnp.min, jnp.max))
+    assert 0.0 <= amin and amax <= 1.0 + 1e-4
+    assert amax > 0.5  # 500k gaussians over the frustum must hit pixels
+
+
+def test_wan_vae_tiled_decode_matches_full():
+    """Tiled serving decode vs whole-clip decode at full release spatial
+    size (60x104 latents -> 480x832), 9 frames so the full-frame reference
+    fits HBM: the overlap-blend must be seam-free (VERDICT: 'tiled-VAE
+    blend seams' at release shape)."""
+    from infinicube_tpu.models.wan.vae3d import (
+        VideoVAE, VideoVAEConfig, decode_tiled_host)
+
+    cfg = VideoVAEConfig.wan21()
+    vae = VideoVAE(cfg)
+    z = jax.random.normal(jax.random.PRNGKey(0),
+                          (1, 3, 60, 104, cfg.latent_channels))
+    params = vae.init(jax.random.PRNGKey(1), z[:, :, :16, :16],
+                      method=VideoVAE.decode)
+    full = jax.jit(lambda p, z: vae.apply(p, z, method=VideoVAE.decode))(
+        params, z)
+    tiled = decode_tiled_host(vae, params, z, to_uint8=False)
+    full_h = np.asarray(jax.device_get(full), np.float32)
+    diff = np.abs(np.asarray(tiled, np.float32) - full_h)
+    assert full_h.shape == tiled.shape
+    assert np.isfinite(full_h).all() and np.isfinite(
+        np.asarray(tiled, np.float32)).all()
+    # causal-conv receptive field is fully inside every 64x32-latent tile's
+    # overlap margin, so tiling must be numerically invisible
+    assert float(diff.max()) < 5e-2, f"tile seam: max abs diff {diff.max()}"
+
+
+def test_world_merge_capacity_overflow_surfaced():
+    """World-scale merge overflow must be LOUD: merging more voxels than
+    device capacity sets Grid.overflowed (VERDICT: 'capacity-overflow
+    surfacing at world-merge scale'); the host-side world grid (int64 keys)
+    absorbs the same set without dropping."""
+    from infinicube_tpu.grid.build import grid_from_ijk, merge_grids
+    from infinicube_tpu.utils.world_grid import WorldGrid
+
+    rng = np.random.default_rng(1)
+    cap = 131072
+    # two dense chunks whose union exceeds capacity
+    a = np.unique(rng.integers(-400, 400, (cap, 3)).astype(np.int32),
+                  axis=0)
+    b = a + np.array([500, 0, 0], np.int32)   # disjoint -> union = 2x
+    ga = grid_from_ijk(jnp.asarray(a[None]), jnp.ones((1, len(a)), bool),
+                       capacity=cap, voxel_size=(0.2, 0.2, 0.2),
+                       origin=(0.1, 0.1, 0.1))
+    gb = grid_from_ijk(jnp.asarray(b[None]), jnp.ones((1, len(b)), bool),
+                       capacity=cap, voxel_size=(0.2, 0.2, 0.2),
+                       origin=(0.1, 0.1, 0.1))
+    merged = merge_grids(ga, gb, capacity=cap)
+    assert bool(jax.device_get(merged.overflowed.any())), \
+        "device merge past capacity must surface overflow"
+
+    world = WorldGrid((0.2, 0.2, 0.2), origin=(0.1, 0.1, 0.1))
+    for ijk in (a, b):
+        world.merge_ijk(ijk, np.zeros(len(ijk), np.int32))
+    assert world.num_voxels == len(a) + len(b)
