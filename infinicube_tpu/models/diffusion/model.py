@@ -39,7 +39,7 @@ class DiffusionConfig:
     # latent voxel sizes [0.8, 0.8, 0.4], cube ijk [-32,32)^2 x [-16,48))
     latent_channels: int = 8
     cube_dims: tuple = (64, 64, 64)
-    cube_ijk_min: tuple = (-32, -32, -16)
+    cube_ijk_min: tuple = (-32, -32, -32)  # symmetric, = VAE neck_ijk_min
     latent_voxel_size: tuple = (0.8, 0.8, 0.4)
     latent_origin: tuple = (0.4, 0.4, 0.2)
     # network

@@ -55,7 +55,13 @@ class SparseVAEConfig:
     pooling_factors: tuple = ((2, 2, 1), (2, 2, 2))
     latent_channels: int = 8
     neck_dims: tuple = (64, 64, 64)
-    neck_ijk_min: tuple = (-32, -32, -16)
+    # symmetric about the crop center in ALL axes: the data crop recenters
+    # on the crop-box center (waymo_dataset / reference
+    # crop_pcd_and_generate_grid_raw:439-442), and the reference release
+    # neck is neck_bound [32,32,32] -> low_bound [-32,-32,-32]
+    # (vae_64x64x64_height_down2_vs02_dense_residual.yaml:52). An
+    # asymmetric z here silently drops ground voxels below the center.
+    neck_ijk_min: tuple = (-32, -32, -32)
     capacities: tuple = (131072, 65536, 32768)
     finest_voxel_size: tuple = (0.2, 0.2, 0.2)
     origin: tuple = (0.1, 0.1, 0.1)
@@ -66,6 +72,15 @@ class SparseVAEConfig:
     unstable_cutoff: bool = True          # zero runaway struct predictions
     unstable_cutoff_threshold: float = 0.4  # (reference sunet.py:636-654)
     conv_backend: str = "auto"            # sparse-conv plan (nn.sparse.conv_plan)
+    # dense-lookup plan build: level-0 ijk cube covering every voxel the
+    # data crop can produce (waymo_dataset crop ±(25.6, 25.6, 12.8) m at
+    # vs 0.2 -> ijk within ±[128, 128, 64]; +margin). Replaces the plan
+    # build's 27-tap searchsorted with one scatter + one gather
+    # (grid.ops.neighbor_indexes dense_bounds); voxels outside the cube
+    # NaN-poison the conv (plan.overflowed), never silently drop.
+    dense_lookup: bool = True
+    dense_lookup_ijk_min: tuple = (-132, -132, -68)
+    dense_lookup_dims: tuple = (264, 264, 136)
     dtype: object = jnp.float32
 
     @property
@@ -74,6 +89,22 @@ class SparseVAEConfig:
 
     def level_features(self, level: int) -> int:
         return self.f_maps * (2 ** level)
+
+    def level_dense_bounds(self, level: int):
+        """Static (ijk_min, dims) covering level ``level``: the level-0 cube
+        pushed through the floor-div coarsening (coarsened_grid: cijk =
+        ijk // f), so every voxel coarsened from an in-bounds fine voxel is
+        in bounds. None when dense_lookup is off."""
+        if not self.dense_lookup:
+            return None
+        mn = np.asarray(self.dense_lookup_ijk_min, np.int64)
+        mx = mn + np.asarray(self.dense_lookup_dims, np.int64) - 1
+        for f in self.pooling_factors[:level]:
+            f = np.asarray(f, np.int64)
+            mn = np.floor_divide(mn, f)
+            mx = np.floor_divide(mx, f)
+        return (tuple(int(v) for v in mn),
+                tuple(int(v) for v in (mx - mn + 1)))
 
 
 def build_hash_tree(cfg: SparseVAEConfig, points: jnp.ndarray,
@@ -203,7 +234,8 @@ class SparseStructureVAE(nn.Module):
         h = self.featurizer(grids[0], semantics)
         for l, g in enumerate(grids):
             plan = plans[l] if plans is not None else \
-                conv_plan(g, cfg.conv_backend)
+                conv_plan(g, cfg.conv_backend,
+                          dense_bounds=cfg.level_dense_bounds(l))
             for blk in self.enc_blocks[l]:
                 h = blk(h, plan, g.mask)
             if l in cfg.attention_levels:
@@ -271,7 +303,8 @@ class SparseStructureVAE(nn.Module):
         for l in range(L - 1, -1, -1):
             plan = guide_plans[l] if (guide_grids is not None and
                                       guide_plans is not None) else \
-                conv_plan(grid, cfg.conv_backend)
+                conv_plan(grid, cfg.conv_backend,
+                          dense_bounds=cfg.level_dense_bounds(l))
             for blk in self.dec_blocks[l]:
                 h = blk(h.astype(cfg.dtype), plan, grid.mask)
             if l in cfg.attention_levels:
@@ -334,7 +367,9 @@ class SparseStructureVAE(nn.Module):
     # ------------------------------------------------------------- combined
     def __call__(self, grids: list[Grid], semantics: jnp.ndarray,
                  rng: jax.Array):
-        plans = [conv_plan(g, self.cfg.conv_backend) for g in grids]
+        plans = [conv_plan(g, self.cfg.conv_backend,
+                           dense_bounds=self.cfg.level_dense_bounds(l))
+                 for l, g in enumerate(grids)]
         mu, logvar = self.encode(grids, semantics, plans=plans)
         z = self.reparametrize(mu, logvar, rng)
         dec = self.decode(z, guide_grids=grids, guide_plans=plans)

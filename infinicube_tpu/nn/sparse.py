@@ -190,7 +190,8 @@ def compute_neighbor_maps(grids: list[Grid], kernel_size: int = 3):
 
 def conv_plan(grid: Grid, backend: str = "auto",
               miss_capacity: int | None = None,
-              check_overflow: bool = True):
+              check_overflow: bool = True,
+              dense_bounds=None):
     """Build the per-grid plan SparseConv3d consumes (one per grid, reused by
     every conv on it).
 
@@ -205,14 +206,23 @@ def conv_plan(grid: Grid, backend: str = "auto",
     loud. The brick backend can silently drop voxels past brick capacity, so
     with ``check_overflow`` (default) this function raises immediately if
     ``plan.num_dropped > 0`` — plan building runs on the host, so the check
-    costs one small sync, not a jit round-trip."""
+    costs one small sync, not a jit round-trip.
+
+    ``dense_bounds=(ijk_min, dims)`` (static tuples declaring the model's
+    crop cube, e.g. SparseVAEConfig.level_dense_bounds) replaces the plan
+    build's 27-tap searchsorted with a dense slot-volume lookup — one
+    scatter + one gather instead of log2(C) serialized gather rounds, the
+    dominant plan-build cost. Window backend only; active voxels outside
+    the declared bounds trip ``plan.overflowed`` (NaN-poisoned convs), so
+    a wrong declaration is loud, never silently inexact."""
     import jax as _jax
     if backend == "auto":
         backend = "window" if _jax.devices()[0].platform == "tpu" \
             else "gather"
     if backend == "window":
         from infinicube_tpu.ops.window_conv import build_window_plan
-        return build_window_plan(grid, miss_capacity=miss_capacity)
+        return build_window_plan(grid, miss_capacity=miss_capacity,
+                                 dense_bounds=dense_bounds)
     if backend == "brick":
         from infinicube_tpu.nn.brick import build_brick_plan
         plan = build_brick_plan(grid)

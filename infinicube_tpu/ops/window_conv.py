@@ -76,10 +76,21 @@ class WindowPlan:
 
 
 @partial(jax.jit, static_argnames=("block_rows", "window_rows",
-                                   "window_block", "miss_capacity"))
+                                   "window_block", "miss_capacity",
+                                   "dense_bounds"))
 def build_window_plan(grid: Grid, block_rows: int = 128,
                       window_rows: int = 256, window_block: int = 64,
-                      miss_capacity: int | None = None) -> WindowPlan:
+                      miss_capacity: int | None = None,
+                      dense_bounds=None) -> WindowPlan:
+    """``dense_bounds=(ijk_min, dims)`` (static tuples) switches the
+    neighbor lookup from the 27-tap searchsorted (~0.3 s of the ~0.5 s plan
+    build at 131k voxels) to a dense slot volume over the declared crop —
+    one scatter + one gather (see grid.ops.neighbor_indexes). Exactness
+    guard: active voxels OUTSIDE the declared bounds would be invisible to
+    the dense lookup, so their count is folded into ``num_missed`` past
+    capacity, making ``plan.overflowed`` true and NaN-poisoning conv
+    outputs (same loud policy as fallback overflow) — never a silently
+    inexact conv."""
     P, W, WB = block_rows, window_rows, window_block
     B, C = grid.mask.shape
     if miss_capacity is None:
@@ -94,7 +105,7 @@ def build_window_plan(grid: Grid, block_rows: int = 128,
     NBLK = C // WB
     nwin = W // WB
 
-    idx = neighbor_indexes(grid, 3)                     # [B, C, 27]
+    idx = neighbor_indexes(grid, 3, dense_bounds=dense_bounds)  # [B, C, 27]
     idxb = idx.reshape(B, CB, P, 27).transpose(0, 1, 3, 2)  # [B, CB, 27, P]
     valid = idxb >= 0
     big = jnp.where(valid, idxb, jnp.int32(1 << 30))
@@ -113,6 +124,10 @@ def build_window_plan(grid: Grid, block_rows: int = 128,
     miss = (valid & ~inwin).reshape(B, -1)              # [B, CB*27*P]
     N = miss.shape[1]
     num_missed = jnp.sum(miss, axis=1).astype(jnp.int32)
+    if dense_bounds is not None:
+        from infinicube_tpu.grid.ops import dense_bounds_violations
+        viol = dense_bounds_violations(grid, *dense_bounds)
+        num_missed = num_missed + viol * jnp.int32(miss_capacity + 1)
     dst = jnp.where(miss, jnp.cumsum(miss, axis=1) - 1, miss_capacity)
     src = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, N))
     top = jnp.full((B, miss_capacity), N, jnp.int32)

@@ -145,3 +145,31 @@ def test_vae_attention_color_and_cutoff():
     dec2 = SparseStructureVAE(cfg_off).apply(pruned, z,
                                              method=model.decode)
     assert int(jax.device_get(dec2["grid"].num_voxels.sum())) > 0
+
+
+def test_default_neck_covers_symmetric_crop():
+    """The data crop recenters on the crop-box center (reference
+    crop_pcd_and_generate_grid_raw:439-442), so ground points sit BELOW
+    z=0 in crop coords; the release neck must be symmetric
+    (neck_bound [32,32,32] -> low [-32,-32,-32] in the reference release
+    config) or those voxels silently vanish in to_dense."""
+    import numpy as np
+    from infinicube_tpu.models.vae import SparseVAEConfig, build_hash_tree
+    from infinicube_tpu.grid.ops import to_dense
+    cfg = SparseVAEConfig()
+    assert cfg.neck_ijk_min == (-32, -32, -32)
+    # points across the FULL symmetric crop incl. ground below center
+    pts = np.array([[0.0, 0.0, -12.0], [20.0, -20.0, -6.5],
+                    [-25.0, 25.0, 12.0], [0.0, 0.0, 0.0]], np.float32)[None]
+    grids = build_hash_tree(cfg, jnp.asarray(pts), jnp.ones((1, 4), bool))
+    g2 = grids[-1]
+    n_active = int(jax.device_get(g2.mask.sum()))
+    dense = to_dense(g2, g2.mask[..., None].astype(jnp.float32),
+                     cfg.neck_ijk_min, cfg.neck_dims)
+    assert int(jax.device_get((dense > 0).sum())) == n_active
+    # and the dense-lookup cube covers every level's voxels
+    from infinicube_tpu.grid.ops import dense_bounds_violations
+    for lvl, g in enumerate(grids):
+        mn, dm = cfg.level_dense_bounds(lvl)
+        assert int(jax.device_get(
+            dense_bounds_violations(g, mn, dm)).max()) == 0

@@ -143,3 +143,43 @@ def test_conv_plan_dispatch(setup):
         assert isinstance(auto, WindowPlan)
     else:
         assert isinstance(auto, jnp.ndarray)
+
+
+def test_dense_bounds_lookup_matches_searchsorted(setup):
+    """dense_bounds plan build (scatter+gather slot volume) must reproduce
+    the searchsorted neighbor table and the resulting plan exactly; bounds
+    violations must trip plan.overflowed (NaN-poison policy)."""
+    from infinicube_tpu.grid.ops import dense_bounds_violations
+    g, nbr, plan, feats, w = setup
+    db = ((-40, -40, -40), (80, 80, 80))
+    assert int(jax.device_get(dense_bounds_violations(g, *db)).max()) == 0
+    dn = neighbor_indexes(g, 3, dense_bounds=db)
+    np.testing.assert_array_equal(jax.device_get(dn), jax.device_get(nbr))
+    p2 = build_window_plan(g, block_rows=128, window_rows=256,
+                           dense_bounds=db)
+    for f in ("starts", "pos", "miss_out", "miss_in", "miss_tap",
+              "num_missed"):
+        np.testing.assert_array_equal(jax.device_get(getattr(p2, f)),
+                                      jax.device_get(getattr(plan, f)))
+    # a cube that excludes active voxels must fail LOUDLY, never silently
+    viol = build_window_plan(g, block_rows=128, window_rows=256,
+                             dense_bounds=((-2, -2, -2), (4, 4, 4)))
+    assert bool(jax.device_get(viol.overflowed).all())
+
+
+def test_vae_config_level_dense_bounds():
+    """Per-level bounds follow the floor-div coarsening: every voxel
+    coarsened from an in-bounds fine voxel stays in bounds."""
+    from infinicube_tpu.models.vae import SparseVAEConfig
+    cfg = SparseVAEConfig()
+    mn0, dm0 = cfg.level_dense_bounds(0)
+    assert mn0 == cfg.dense_lookup_ijk_min and dm0 == cfg.dense_lookup_dims
+    for lvl in (1, 2):
+        mn, dm = cfg.level_dense_bounds(lvl)
+        f = np.prod([np.asarray(x) for x in cfg.pooling_factors[:lvl]],
+                    axis=0)
+        lo = np.floor_divide(np.asarray(mn0), f)
+        hi = np.floor_divide(np.asarray(mn0) + np.asarray(dm0) - 1, f)
+        assert tuple(lo) == mn
+        assert tuple(hi - lo + 1) == dm
+    assert SparseVAEConfig(dense_lookup=False).level_dense_bounds(0) is None
