@@ -23,6 +23,7 @@ docs/PERF.md "bf16 attention wall").
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
@@ -67,7 +68,6 @@ def _run(frames: int):
         lambda x: x.astype(jnp.bfloat16)
         if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, params)
 
-    @jax.jit
     def denoise_step(p, x, tt, ctx, bl):
         # CFG: conditional + unconditional in one doubled batch
         xx = jnp.concatenate([x, x])
@@ -77,16 +77,26 @@ def _run(frames: int):
         c, u = jnp.split(out, 2, axis=0)
         return (u + 5.0 * (c - u)).astype(x.dtype)
 
+    @functools.partial(jax.jit, static_argnums=(4,))
+    def denoise(p, x, ctx, bl, steps):
+        # the WHOLE denoise loop runs on device (lax.scan), as serving
+        # does — a per-step Python dispatch through the axon tunnel costs
+        # ~0.1 s/step of pure host overhead that is not model time
+        def body(xc, i):
+            return denoise_step(p, xc, t + i, ctx, bl), None
+        return jax.lax.scan(body, x, jnp.arange(steps, dtype=jnp.float32))[0]
+
     x = jax.random.normal(rng, lat.shape, jnp.bfloat16)
-    # warmup/compile; NOTE: under the axon tunnel block_until_ready does not
-    # actually block — a host fetch is the only reliable fence
-    x = denoise_step(params, x, t, txt, buf)
-    _ = jax.device_get(x[0, 0, 0, 0])
+    # warmup/compile with the SAME static step count as the timed call
+    # (steps is static, so a different count is a different program); under
+    # the axon tunnel block_until_ready does not actually block — a host
+    # fetch is the only reliable fence
+    o = denoise(params, x, txt, buf, timed_steps)
+    _ = jax.device_get(o[0, 0, 0, 0])
 
     t0 = time.perf_counter()
-    for i in range(timed_steps):
-        x = denoise_step(params, x, t + i, txt, buf)
-    _ = jax.device_get(x[0, 0, 0, 0])
+    o = denoise(params, x, txt, buf, timed_steps)
+    _ = jax.device_get(o[0, 0, 0, 0])
     dt = time.perf_counter() - t0
 
     steps_per_sec = timed_steps / dt
