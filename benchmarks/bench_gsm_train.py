@@ -54,6 +54,10 @@ import os
 import dataclasses as _dc
 cfg0 = gsm_bf16_config() if os.environ.get('GSM_BF16', '1') == '1' \
     else GSMConfig()
+# scene cube (this synthetic crop at vs 0.4: i in [0,200], j +-52, k [0,27])
+# -> dense slot-volume conv-plan builds instead of the 27-tap searchsorted
+cfg0 = _dc.replace(cfg0, voxel=_dc.replace(
+    cfg0.voxel, dense_lookup_bounds=((-8, -64, -8), (224, 128, 48))))
 if os.environ.get('GSM_NO_REMAT'):
     cfg0 = _dc.replace(cfg0, render_remat=False)
 model = GSM(cfg0)

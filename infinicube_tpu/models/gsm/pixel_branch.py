@@ -30,6 +30,9 @@ class PixelBranchConfig:
     out_dim: int = 24                   # unet2d_params.out_dim
     attn_heads: int = 4
     consolidate_upsample_fmaps: bool = True
+    unet_remat: bool = True             # remat each ResBlock/attn: backward
+    # otherwise saves ~3 full-res conv/GN intermediates per block (65 MB
+    # each at 3x480x704xw) and the release train step OOMs one v5e
     gs_per_pixel: int = 2
     znear: float = 0.3
     zfar: float = 200.0
@@ -70,10 +73,12 @@ class SelfAttn2D(nn.Module):
         qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(t)
         q, k, v = (a.reshape(B, H * W, self.heads, C // self.heads)
                    for a in jnp.split(qkv, 3, axis=-1))
-        a = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
-            jnp.float32(C // self.heads))
-        a = jax.nn.softmax(a.astype(jnp.float32), axis=-1).astype(q.dtype)
-        o = jnp.einsum("bhqk,bkhd->bqhd", a, v).reshape(B, H * W, C)
+        # memory-linear dispatch: at the release 480x704 input the mid
+        # level has 5280 tokens — a materialized [B, h, N, N] f32 logit
+        # tensor is 1.27 GB and OOMs the train step; the flash kernel
+        # handles head_dim 64 (measured 6 ms fwd at this shape)
+        from infinicube_tpu.ops.attention import multi_head_attention
+        o = multi_head_attention(q, k, v).reshape(B, H * W, C)
         return x + nn.Dense(C, dtype=self.dtype,
                             name="out")(o).reshape(B, H, W, C)
 
@@ -92,22 +97,24 @@ class UNet2D(nn.Module):
     def __call__(self, x):
         cfg = self.cfg
         w = cfg.width
+        Res = nn.remat(ResBlock2D) if cfg.unet_remat else ResBlock2D
+        Attn = nn.remat(SelfAttn2D) if cfg.unet_remat else SelfAttn2D
         h = nn.Conv(w, (7, 7), dtype=cfg.dtype, name="stem")(x)
         skips = []
         for i, m in enumerate(cfg.dims):
             for b in range(cfg.blocks_per_stage[i]):
-                h = ResBlock2D(w * m, cfg.dtype, name=f"d{i}b{b}")(h)
+                h = Res(w * m, cfg.dtype, name=f"d{i}b{b}")(h)
             for a in range(cfg.self_attn_per_stage[i]):
-                h = SelfAttn2D(cfg.attn_heads, cfg.dtype,
-                               name=f"d{i}a{a}")(h)
+                h = Attn(cfg.attn_heads, cfg.dtype,
+                         name=f"d{i}a{a}")(h)
             skips.append(h)
             if i < len(cfg.dims) - 1:
                 h = nn.Conv(w * cfg.dims[i + 1], (3, 3), strides=(2, 2),
                             dtype=cfg.dtype, name=f"down{i}")(h)
         # bottleneck: ResBlock -> attention -> ResBlock (XUnet mid)
-        h = ResBlock2D(h.shape[-1], cfg.dtype, name="mid1")(h)
-        h = SelfAttn2D(cfg.attn_heads, cfg.dtype, name="mid_attn")(h)
-        h = ResBlock2D(h.shape[-1], cfg.dtype, name="mid2")(h)
+        h = Res(h.shape[-1], cfg.dtype, name="mid1")(h)
+        h = Attn(cfg.attn_heads, cfg.dtype, name="mid_attn")(h)
+        h = Res(h.shape[-1], cfg.dtype, name="mid2")(h)
         stage_outs = []
         for i in range(len(cfg.dims) - 1, -1, -1):
             if i < len(cfg.dims) - 1:
@@ -117,11 +124,11 @@ class UNet2D(nn.Module):
                             name=f"up{i}")(h)
             h = jnp.concatenate([h, skips[i]], axis=-1)
             for b in range(cfg.blocks_per_stage[i]):
-                h = ResBlock2D(w * cfg.dims[i], cfg.dtype,
-                               name=f"u{i}b{b}")(h)
+                h = Res(w * cfg.dims[i], cfg.dtype,
+                        name=f"u{i}b{b}")(h)
             for a in range(cfg.self_attn_per_stage[i]):
-                h = SelfAttn2D(cfg.attn_heads, cfg.dtype,
-                               name=f"u{i}a{a}")(h)
+                h = Attn(cfg.attn_heads, cfg.dtype,
+                         name=f"u{i}a{a}")(h)
             stage_outs.append(h)
         if cfg.consolidate_upsample_fmaps:
             B, H, W, _ = stage_outs[-1].shape
@@ -160,31 +167,50 @@ class PixelBranch(nn.Module):
                                                    normalize=False)
         ro, rd = jax.vmap(rays)(Ks, cam_to_worlds)         # [V, H, W, 3]
 
-        s = nn.sigmoid(out[..., 0])                        # depth in [0,1]
-        depth = cfg.znear + s * (cfg.zfar - cfg.znear)     # [V, H, W, K]
-        # blend toward the provided prior where present (provided_depth mode)
-        has_prior = (depth_prior[..., 0] > 0)[..., None]
-        prior = depth_prior[..., :1]
-        gate = nn.sigmoid(out[..., 1])
-        depth = jnp.where(has_prior, prior * (1 - 0.25 * (gate - 0.5)), depth)
-        means = ro[:, :, :, None, :] + rd[:, :, :, None, :] * depth[..., None]
-        scales = jnp.exp(jnp.clip(out[..., 2:5], -10.0, 0.0)) * cfg.max_scale \
-            * (depth[..., None] / 10.0 + 0.1)
-        quats = out[..., 5:9] + jnp.array([1.0, 0, 0, 0])
-        quats = quats / jnp.maximum(
-            jnp.linalg.norm(quats, axis=-1, keepdims=True), 1e-6)
-        opacity = nn.sigmoid(out[..., 9])
-        # rgb = input pixel color + bounded residual
-        colors = jnp.clip(rgb[:, :, :, None, :] +
-                          (nn.sigmoid(out[..., 10:13]) - 0.5), 0.0, 1.0)
-        if decode_all or pixel_mask is None:
-            valid = jnp.ones((V, H, W, K), bool)
-        else:
-            valid = jnp.broadcast_to(pixel_mask[..., None], (V, H, W, K))
+        # ---- gaussian assembly, component-wise on flat [M] arrays -------
+        # TPU tile-padding trap (CLAUDE.md / gsplat round 2): any
+        # intermediate with the trailing K=2 (or xyz=3) dim materializes
+        # onto (8,128) tiles at up to 64x expansion — a measured 1.45 GB
+        # HLO temp for a 23 MB tensor in the train step's backward. All
+        # per-gaussian math therefore runs on flat [M] per-component
+        # arrays; only the final stacked outputs carry a small minor dim
+        # (XLA lays rank-2 [M, 3] out transposed, which pads 3 -> 8 only).
+        def ch(i):                                         # head ch -> [M]
+            return out[..., i].reshape(-1)
 
-        flat = lambda a: a.reshape((-1,) + a.shape[4:])
-        return {"means": flat(means), "scales": flat(scales),
-                "quats": flat(quats),
-                "opacities": jnp.where(valid, opacity, 0.0).reshape(-1),
-                "colors": flat(colors), "valid": valid.reshape(-1),
-                "depth": depth}
+        def perk(a):                                       # [V,H,W] -> [M]
+            return jnp.broadcast_to(a[..., None],
+                                    (V, H, W, K)).reshape(-1)
+
+        s = nn.sigmoid(ch(0))                              # depth in [0,1]
+        depth = cfg.znear + s * (cfg.zfar - cfg.znear)     # [M]
+        # blend toward the provided prior where present (provided_depth mode)
+        has_prior = perk(depth_prior[..., 0] > 0)
+        prior = perk(depth_prior[..., 0])
+        gate = nn.sigmoid(ch(1))
+        depth = jnp.where(has_prior, prior * (1 - 0.25 * (gate - 0.5)),
+                          depth)
+        means = jnp.stack(
+            [perk(ro[..., c]) + perk(rd[..., c]) * depth for c in range(3)],
+            axis=-1)                                       # [M, 3]
+        srad = cfg.max_scale * (depth / 10.0 + 0.1)
+        scales = jnp.stack(
+            [jnp.exp(jnp.clip(ch(2 + c), -10.0, 0.0)) * srad
+             for c in range(3)], axis=-1)
+        q = [ch(5 + c) + (1.0 if c == 0 else 0.0) for c in range(4)]
+        qn = jnp.maximum(jnp.sqrt(sum(x * x for x in q)), 1e-6)
+        quats = jnp.stack([x / qn for x in q], axis=-1)
+        opacity = nn.sigmoid(ch(9))
+        # rgb = input pixel color + bounded residual
+        colors = jnp.stack(
+            [jnp.clip(perk(rgb[..., c]) + nn.sigmoid(ch(10 + c)) - 0.5,
+                      0.0, 1.0) for c in range(3)], axis=-1)
+        if decode_all or pixel_mask is None:
+            valid = jnp.ones((V * H * W * K,), bool)
+        else:
+            valid = perk(pixel_mask)
+
+        return {"means": means, "scales": scales, "quats": quats,
+                "opacities": jnp.where(valid, opacity, 0.0),
+                "colors": colors, "valid": valid,
+                "depth": depth.reshape(V, H, W, K)}

@@ -38,7 +38,32 @@ class VoxelBranchConfig:
     vis_subdiv: int = 2                # occ_upsample factor (ref :359)
     vis_subdiv_capacity_mult: int = 4  # subdivided-grid capacity / base
     conv_backend: str = "auto"
+    # Optional (ijk_min, dims) cube covering the LEVEL-0 scene grid: turns
+    # the conv-plan builds into dense slot-volume lookups (one
+    # scatter+gather instead of the 27-tap searchsorted — see
+    # nn.sparse.conv_plan). Opt-in because GSM also runs on world-scale
+    # grids (inference merges) where no static cube exists; training on
+    # per-sample crops sets it (configs/train_gsm.yaml, bench_gsm_train).
+    # Out-of-cube voxels NaN-poison via plan.overflowed — loud, not wrong.
+    dense_lookup_bounds: tuple | None = None
     dtype: Any = jnp.float32
+
+    def level_dense_bounds(self, level: int):
+        """Level-`level` cube: level-0 bounds through the floor-div
+        coarsening by pooling_factor (same derivation as
+        SparseVAEConfig.level_dense_bounds)."""
+        if self.dense_lookup_bounds is None:
+            return None
+        import numpy as np
+        mn0, dm0 = self.dense_lookup_bounds
+        mn = np.asarray(mn0, np.int64)
+        mx = mn + np.asarray(dm0, np.int64) - 1
+        f = np.asarray(self.pooling_factor, np.int64)
+        for _ in range(level):
+            mn = np.floor_divide(mn, f)
+            mx = np.floor_divide(mx, f)
+        return (tuple(int(v) for v in mn),
+                tuple(int(v) for v in (mx - mn + 1)))
 
 
 class GaussianHead(nn.Module):
@@ -88,7 +113,8 @@ class VoxelBranch(nn.Module):
         skips = []
         # encoder (guided pooling down the pyramid)
         for l in range(L):
-            nbr = conv_plan(grids[l], self.cfg.conv_backend)
+            nbr = conv_plan(grids[l], self.cfg.conv_backend,
+                            dense_bounds=cfg.level_dense_bounds(l))
             h = SparseResBlock(cfg.f_maps * 2 ** l, dtype=cfg.dtype,
                                name=f"enc{l}")(h, nbr, grids[l].mask)
             skips.append(h)
@@ -100,7 +126,8 @@ class VoxelBranch(nn.Module):
             _, h = upsample_nearest(grids[l + 1], h, cfg.pooling_factor,
                                     fine=grids[l])
             h = jnp.concatenate([h, skips[l]], axis=-1)
-            nbr = conv_plan(grids[l], self.cfg.conv_backend)
+            nbr = conv_plan(grids[l], self.cfg.conv_backend,
+                            dense_bounds=cfg.level_dense_bounds(l))
             h = SparseResBlock(cfg.f_maps * 2 ** l, dtype=cfg.dtype,
                                name=f"dec{l}")(h, nbr, grids[l].mask)
 

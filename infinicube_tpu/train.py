@@ -159,7 +159,13 @@ def build_gsm(cfg: Config):
     from infinicube_tpu.models.gsm.loss import GSMLossConfig, gsm_loss
     from infinicube_tpu.models.gsm.model import GSM, GSMConfig
     from infinicube_tpu.grid.build import grid_from_points
+    import dataclasses as _dc
+    # training runs on per-sample crops (the same recentered +-(25.6, 25.6,
+    # 12.8) m cube as the VAE at vs 0.2), so the conv plans can use the
+    # dense slot-volume lookup; world-scale inference leaves bounds None
     gc = GSMConfig()
+    gc = _dc.replace(gc, voxel=_dc.replace(
+        gc.voxel, dense_lookup_bounds=((-132, -132, -68), (264, 264, 136))))
     model = GSM(gc)
     lcfg = GSMLossConfig(**cfg.get_path("gsm_loss", {}))
     rng0 = np.random.default_rng(0)

@@ -221,3 +221,18 @@ def test_lifter_splat_vs_dda_agree():
     got_d = jnp.any(lf_d[0] != 0, -1)
     inter = float(jnp.sum(got_s & got_d))
     assert inter / max(float(jnp.sum(got_d)), 1.0) > 0.5
+
+
+def test_voxel_branch_dense_bounds_config():
+    """level_dense_bounds follows the floor-div coarsening; None = off."""
+    import numpy as np
+    from infinicube_tpu.models.gsm.voxel_branch import VoxelBranchConfig
+    cfg = VoxelBranchConfig(
+        dense_lookup_bounds=((-8, -64, -8), (224, 128, 48)))
+    mn0, dm0 = cfg.level_dense_bounds(0)
+    assert mn0 == (-8, -64, -8) and dm0 == (224, 128, 48)
+    mn1, dm1 = cfg.level_dense_bounds(1)
+    assert mn1 == (-4, -32, -4) and dm1 == (112, 64, 24)
+    mn2, dm2 = cfg.level_dense_bounds(2)
+    assert mn2 == (-2, -16, -2) and dm2 == (56, 32, 12)
+    assert VoxelBranchConfig().level_dense_bounds(0) is None
