@@ -82,6 +82,29 @@ def main(outdir="out/e2e"):
     write_buffer_tars(outdir / "buffers", buffers, poses, cam)
     save_voxel_world(outdir / "buffers" / "world.npz", world)
 
+    # ---- stage 2.5: Wan video generation (E2E_VIDEO=0 to skip) -----------
+    # the reference's ~20-min A100 video stage (README.md:65): 1.3B DiT,
+    # 93f@480p, 50-step CFG denoise + tiled VAE decode, random weights here
+    import os
+    if os.environ.get("E2E_VIDEO", "1") != "0":
+        from infinicube_tpu.inference.guidance_buffer_generation import (
+            write_preview_videos)
+        from infinicube_tpu.models.wan.pipeline import (
+            WanPipelineConfig, WanVideoGenerator)
+        sem_rgb, coord = write_preview_videos(outdir / "buffers", buffers)
+        t0 = time.perf_counter()
+        gen = WanVideoGenerator(WanPipelineConfig())
+        gen.params = gen.init_params(jax.random.PRNGKey(0))
+        frames = gen.generate((sem_rgb[:93] * 255).astype(np.uint8),
+                              coord[:93], "a realistic driving scene")
+        print(f"[stage2.5] video 93f@480p 50-step CFG in "
+              f"{time.perf_counter()-t0:.1f}s")
+        from infinicube_tpu.utils.fileio import write_video
+        write_video(outdir / "video.mp4", frames)
+        video_frames = np.asarray(frames, np.float32) / 255.0
+    else:
+        video_frames = None
+
     # ---- stage 3: GSM gaussian scene --------------------------------------
     from infinicube_tpu.inference.scene_gaussian_generation import (
         load_buffer_folder, reconstruct_scene)
@@ -93,9 +116,12 @@ def main(outdir="out/e2e"):
     from infinicube_tpu.utils.gaussian_io import save_pkl, save_splat
 
     data = load_buffer_folder(outdir / "buffers", num_frames=8, stride=8)
-    rng = np.random.default_rng(0)
-    data["video"] = rng.uniform(size=data["depth"].shape + (3,)).astype(
-        np.float32)
+    if video_frames is not None:
+        data["video"] = video_frames[:: 8][: data["depth"].shape[0]]
+    else:
+        rng = np.random.default_rng(0)
+        data["video"] = rng.uniform(size=data["depth"].shape + (3,)).astype(
+            np.float32)
     gcfg = GSMConfig(
         encoder=UnifiedEncoderConfig(conv_width=32),
         voxel=VoxelBranchConfig(f_maps=32, levels=2, gaussians_per_voxel=2),

@@ -23,6 +23,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from infinicube_tpu.ops.dense_conv import Conv3x3x3
+
 
 def timestep_embedding(t: jnp.ndarray, dim: int, max_period: float = 10000.0):
     """Sinusoidal timestep embedding. t int/float[B] -> f32[B, dim]."""
@@ -54,11 +56,15 @@ class ResBlock3D(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_scale_shift_norm: bool = True
     dropout: float = 0.0
+    conv_impl: str = "auto"   # Pallas implicit-GEMM 3x3x3 on TPU (same
+    # param tree as nn.Conv; ops/dense_conv.py — the conv wall measured
+    # in docs/PERF.md's DDIM row)
 
     @nn.compact
     def __call__(self, x, emb, deterministic: bool = True):
         h = nn.silu(GroupNorm32()(x))
-        h = nn.Conv(self.out_ch, (3, 3, 3), dtype=self.dtype, name="conv1")(h)
+        h = Conv3x3x3(self.out_ch, dtype=self.dtype, impl=self.conv_impl,
+                      name="conv1")(h)
         e = nn.Dense(2 * self.out_ch if self.use_scale_shift_norm else self.out_ch,
                      dtype=self.dtype, name="emb_proj")(nn.silu(emb))
         e = e[:, None, None, None, :]
@@ -71,8 +77,8 @@ class ResBlock3D(nn.Module):
             h = nn.silu(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = nn.Conv(self.out_ch, (3, 3, 3), dtype=self.dtype,
-                    kernel_init=nn.initializers.zeros, name="conv2")(h)
+        h = Conv3x3x3(self.out_ch, dtype=self.dtype, impl=self.conv_impl,
+                      kernel_init=nn.initializers.zeros, name="conv2")(h)
         if x.shape[-1] != self.out_ch:
             x = nn.Conv(self.out_ch, (1, 1, 1), dtype=self.dtype,
                         name="skip")(x)
@@ -190,6 +196,8 @@ class UNet3D(nn.Module):
     dropout: float = 0.0
     remat: bool = False   # rematerialize res/transformer blocks (training
     # memory <-> recompute trade, jax.checkpoint)
+    conv_impl: str = "auto"   # "auto": Pallas 3x3x3 conv on TPU where the
+    # shape fits (ops/dense_conv.py), XLA elsewhere; "xla" forces XLA
 
     @nn.compact
     def __call__(self, x, t, context=None, y_emb=None,
@@ -209,12 +217,14 @@ class UNet3D(nn.Module):
                                  name="y_proj")(y_emb)
 
         x = x.astype(self.dtype)
-        h = nn.Conv(ch, (3, 3, 3), dtype=self.dtype, name="in_conv")(x)
+        h = Conv3x3x3(ch, dtype=self.dtype, impl=self.conv_impl,
+                      name="in_conv")(x)
         skips = [h]
         ds = 1
         for level, mult in enumerate(self.channel_mult):
             for _ in range(self.num_res_blocks):
-                h = ResBlock(mult * ch, self.dtype, dropout=self.dropout)(
+                h = ResBlock(mult * ch, self.dtype, dropout=self.dropout,
+                             conv_impl=self.conv_impl)(
                     h, emb, deterministic)
                 if ds in self.attention_ds:
                     h = SelfAttention3D(self.num_heads, self.dtype)(h)
@@ -225,25 +235,26 @@ class UNet3D(nn.Module):
                 ds *= 2
                 skips.append(h)
 
-        h = ResBlock(h.shape[-1], self.dtype, dropout=self.dropout)(
-            h, emb, deterministic)
+        h = ResBlock(h.shape[-1], self.dtype, dropout=self.dropout,
+                     conv_impl=self.conv_impl)(h, emb, deterministic)
         h = Transformer(self.transformer_depth, self.num_heads,
                         self.dtype, name="middle_transformer")(h, context)
-        h = ResBlock(h.shape[-1], self.dtype, dropout=self.dropout)(
-            h, emb, deterministic)
+        h = ResBlock(h.shape[-1], self.dtype, dropout=self.dropout,
+                     conv_impl=self.conv_impl)(h, emb, deterministic)
 
         for level, mult in reversed(list(enumerate(self.channel_mult))):
             for i in range(self.num_res_blocks + 1):
                 h = jnp.concatenate([h, skips.pop()], axis=-1)
-                h = ResBlock(mult * ch, self.dtype, dropout=self.dropout)(
+                h = ResBlock(mult * ch, self.dtype, dropout=self.dropout,
+                             conv_impl=self.conv_impl)(
                     h, emb, deterministic)
                 if ds in self.attention_ds:
                     h = SelfAttention3D(self.num_heads, self.dtype)(h)
             if level != 0:
                 B, D, H, W, C = h.shape
                 h = jax.image.resize(h, (B, 2 * D, 2 * H, 2 * W, C), "nearest")
-                h = nn.Conv(C, (3, 3, 3), dtype=self.dtype,
-                            name=f"up{level}")(h)
+                h = Conv3x3x3(C, dtype=self.dtype, impl=self.conv_impl,
+                              name=f"up{level}")(h)
                 ds //= 2
 
         h = nn.silu(GroupNorm32()(h))

@@ -1,0 +1,283 @@
+"""Pallas implicit-GEMM 3x3x3 SAME conv for the dense voxel UNet.
+
+Why: the voxel-diffusion DDIM step is conv-bound and XLA's conv3d runs
+~56 TF/s at the release level-0 shape (64^3 cube, C=192) while the
+equivalent matmul probes 92 TF/s (docs/PERF.md DDIM row) — the only
+remaining lever for the 100-step DDIM chunk
+(/root/reference/infinicube/inference/voxel_world_generation.py DDIM-100,
+README.md:43).
+
+Formulation (picked so every on-chip data movement is tile-aligned):
+
+- Rows are merged ``(y, w)`` pairs: the input is zero-padded in z and y,
+  reshaped to ``[B, D+2, (H+2)*W, C]``, and sliced into THREE dy-shifted
+  views ``[:, :, dy*W : dy*W + H*W, :]``. A block of ``by`` output image
+  rows is then ``R = by*W`` CONTIGUOUS rows of each view — the y taps of
+  the conv become plain aligned row offsets, no halo BlockSpecs needed.
+- The z taps are the same trick one level up: three operands per view with
+  ``index_map d -> d + dz`` (block depth 1, so block index == plane index).
+- In-kernel, the 9 ``[R, C]`` blocks concatenate along lanes into the
+  im2col matrix ``[R, 9C]`` (VPU copies, ~1% of the matmul time) and hit
+  the MXU ONCE per O-chunk: ``[R, 9C] @ [9C, 3*oblk] -> f32``. K = 9C
+  (1728 at C=192) keeps the contraction long; N = 3*oblk groups the three
+  x taps so N stays a near-multiple of 128 even though O=192 alone pads
+  25%.
+- The remaining x taps compose OUTSIDE the matmul: ``out = t1 +
+  roll(t0, +1) + roll(t2, -1)`` over the row dim, with rows ``w == 0`` /
+  ``w == W-1`` masked to zero — exactly the SAME-padding halo (rolled-in
+  values at image borders are the zero pad; rolls across merged-row
+  boundaries are masked by the same test). Sublane roll + iota compare =
+  cheap VPU work.
+
+The weight matrix is laid out ``[(dz dy c), (q dx oo)]`` so each O-chunk q
+is a contiguous 2D block (wide layers chunk O to bound VMEM; the chunk
+grid dim is innermost so input blocks are not re-fetched).
+
+Backward (``jax.custom_vjp``): dx is the same kernel with the
+spatially-flipped, in/out-transposed weights; dw is 27 tap einsums (one
+[C, M] x [M, O] contraction each) left to XLA; db is a sum. Training and
+sampling both run through this op.
+
+Measured (v5e, docs/PERF.md round 3): level-0 release conv
+[2,64,64,64,192]->192 in bf16: XLA 18.9 ms, this kernel 10.9 ms (97 TF/s
+vs 56) — and the full tracked-config DDIM step 2.17 -> 3.14 it/s.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# ---------------------------------------------------------------------------
+# plan: pick (by, oblk) under the VMEM budget
+# ---------------------------------------------------------------------------
+
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def _divisors_desc(n: int):
+    return [d for d in range(n, 0, -1) if n % d == 0]
+
+
+def conv_plan_feasible(shape, C: int, O: int, dtype) -> tuple | None:
+    """Return (by, oblk) for x [B, D, H, W, C] -> O, or None when the
+    shape doesn't fit the kernel (then the caller falls back to XLA)."""
+    B, D, H, W = shape
+    s = jnp.dtype(dtype).itemsize
+    if C < 64 or O < 64 or min(D, H, W) < 3:
+        return None
+    if C % 8 or O % 8 or W % 8:
+        return None
+    best = None
+    # Mosaic block rule: the weight chunk's minor dim 3*oblk must be a
+    # multiple of 128 or the whole 3*O -> oblk == O or oblk % 128 == 0
+    oblks = [O] + [o for o in _divisors_desc(O) if o % 128 == 0 and o < O]
+    for oblk in oblks:
+        nq = O // oblk
+        wbuf = 1 if nq == 1 else 2         # constant index map: one DMA
+        for by in [d for d in _divisors_desc(H)]:
+            R = by * W
+            if R < 128 or R > 4096:
+                continue
+            vmem = (2 * 9 * R * C * s          # input blocks, double-buffered
+                    + R * 9 * C * s            # im2col lhs
+                    + wbuf * 9 * C * 3 * oblk * s   # weight chunk
+                    + R * 3 * oblk * 4         # matmul accumulator (f32)
+                    + R * 3 * oblk * 4         # rolled/masked temps
+                    + 2 * R * oblk * s)        # output block
+            if vmem <= _VMEM_BUDGET:
+                score = (min(R, 1024), oblk)   # prefer big M, then big chunks
+                if best is None or score > best[0]:
+                    best = (score, (by, oblk))
+        if best is not None and best[0][0] >= 512:
+            break
+    return None if best is None else best[1]
+
+
+# ---------------------------------------------------------------------------
+# kernel
+# ---------------------------------------------------------------------------
+
+
+def _kernel(*refs, W: int, O: int, oblk: int, out_dtype):
+    x_refs = refs[:9]                   # (dz, dy) row-major, each [1,1,R,C]
+    w_ref, b_ref, o_ref = refs[9], refs[10], refs[11]
+    lhs = jnp.concatenate([r[0, 0] for r in x_refs], axis=-1)     # [R, 9C]
+    acc = jnp.dot(lhs, w_ref[...],
+                  preferred_element_type=jnp.float32)             # [R, 3*ob]
+    t0 = acc[:, :oblk]
+    t1 = acc[:, oblk:2 * oblk]
+    t2 = acc[:, 2 * oblk:]
+    R = t1.shape[0]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) % W
+    # dx taps: out[w] += in[w-1] @ K0 + in[w] @ K1 + in[w+1] @ K2.
+    # roll(t0,+1)[m] = t0[m-1]; wrapped rows (w==0) are the zero y/x halo.
+    out = (t1
+           + jnp.where(pos == 0, 0.0, pltpu.roll(t0, shift=1, axis=0))
+           + jnp.where(pos == W - 1, 0.0,
+                       pltpu.roll(t2, shift=R - 1, axis=0)))
+    out = out + b_ref[...]
+    o_ref[0, 0] = out.astype(out_dtype)
+
+
+def _pallas_conv(x, w_mat, bias, *, H, W, O, by, oblk, interpret):
+    """x [B, D, H, W, C]; w_mat [9C, 3O] in (q dx oo) column order;
+    bias [1, O] f32. Returns [B, D, H, W, O] in x.dtype."""
+    B, D, _, _, C = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
+    xm = xp.reshape(B, D + 2, (H + 2) * W, C)
+    xviews = [jax.lax.slice_in_dim(xm, dy * W, dy * W + H * W, axis=2)
+              for dy in range(3)]
+    nq = O // oblk
+    grid = (B, D, H // by, nq)
+
+    def x_map(dz):
+        return lambda b, d, h, q: (b, d + dz, h, 0)
+
+    in_specs = [pl.BlockSpec((1, 1, by * W, C), x_map(dz))
+                for dz in range(3) for _ in range(3)]
+    in_specs.append(pl.BlockSpec((9 * C, 3 * oblk),
+                                 lambda b, d, h, q: (0, q)))
+    in_specs.append(pl.BlockSpec((1, oblk), lambda b, d, h, q: (0, q)))
+    out_spec = pl.BlockSpec((1, 1, by * W, oblk),
+                            lambda b, d, h, q: (b, d, h, q))
+    args = [xviews[dy] for dz in range(3) for dy in range(3)]
+    args += [w_mat, bias]
+    out = pl.pallas_call(
+        functools.partial(_kernel, W=W, O=O, oblk=oblk, out_dtype=x.dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((B, D, H * W, O), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary",
+                                 "arbitrary")),
+        interpret=interpret,
+    )(*args)
+    return out.reshape(B, D, H, W, O)
+
+
+def _pack_weights(w, oblk: int):
+    """[3,3,3,C,O] -> [9C, 3O] with columns ordered (q, dx, oo) so each
+    O-chunk q is one contiguous [9C, 3*oblk] block."""
+    C, O = w.shape[3], w.shape[4]
+    nq = O // oblk
+    w2 = w.transpose(0, 1, 3, 2, 4)                 # [dz, dy, C, dx, O]
+    w3 = w2.reshape(3, 3, C, 3, nq, oblk)
+    return w3.transpose(0, 1, 2, 4, 3, 5).reshape(9 * C, 3 * O)
+
+
+# ---------------------------------------------------------------------------
+# public op with custom VJP
+# ---------------------------------------------------------------------------
+
+
+def _xla_conv(x, w, bias):
+    out = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), window_strides=(1, 1, 1), padding="SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32)
+    return (out + bias.astype(jnp.float32)).astype(x.dtype)
+
+
+def _fwd_impl(x, w, bias, plan, interpret):
+    if plan is None:
+        return _xla_conv(x, w, bias)
+    by, oblk = plan
+    B, D, H, W, C = x.shape
+    O = w.shape[-1]
+    w_mat = _pack_weights(w.astype(x.dtype), oblk)
+    return _pallas_conv(x, w_mat, bias.astype(jnp.float32)[None], H=H, W=W,
+                        O=O, by=by, oblk=oblk, interpret=interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def conv3x3x3(x, w, bias, plan=None, interpret=False):
+    """3x3x3 stride-1 SAME conv, NDHWC x [B,D,H,W,C] @ w [3,3,3,C,O] +
+    bias [O]. ``plan=(by, oblk)`` routes through the Pallas kernel;
+    ``plan=None`` is the XLA path (used for infeasible shapes and as the
+    numerics oracle in tests)."""
+    return _fwd_impl(x, w, bias, plan, interpret)
+
+
+def _conv_fwd(x, w, bias, plan, interpret):
+    return _fwd_impl(x, w, bias, plan, interpret), (x, w)
+
+
+def _conv_bwd(plan, interpret, res, g):
+    x, w = res
+    C, O = w.shape[3], w.shape[4]
+    # input grad: conv of g with the spatially-flipped, in/out-swapped
+    # kernel (same Pallas kernel when the transposed shape has a plan)
+    wf = w[::-1, ::-1, ::-1].transpose(0, 1, 2, 4, 3)        # [3,3,3,O,C]
+    gplan = conv_plan_feasible(x.shape[:4], O, C, g.dtype) \
+        if plan is not None else None
+    dx = _fwd_impl(g, wf, jnp.zeros((C,), jnp.float32), gplan, interpret)
+    # weight grad: 27 tap contractions, XLA einsums (tall-K matmuls)
+    xq = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+    B, D, H, W, _ = x.shape
+    taps = []
+    gf = g.astype(jnp.float32)
+    for dz in range(3):
+        for dy in range(3):
+            for dxx in range(3):
+                xs = jax.lax.dynamic_slice(
+                    xq, (0, dz, dy, dxx, 0), (B, D, H, W, C))
+                taps.append(jnp.einsum(
+                    "bdhwc,bdhwo->co", xs.astype(jnp.float32), gf,
+                    preferred_element_type=jnp.float32))
+    dw = jnp.stack(taps).reshape(3, 3, 3, C, O).astype(w.dtype)
+    db = gf.sum((0, 1, 2, 3)).astype(jnp.float32)
+    return dx.astype(x.dtype), dw, db
+
+
+conv3x3x3.defvjp(_conv_fwd, _conv_bwd)
+
+
+# ---------------------------------------------------------------------------
+# flax module (drop-in for nn.Conv(features, (3,3,3)) — same param tree)
+# ---------------------------------------------------------------------------
+
+import flax.linen as nn
+from flax.linen import dtypes as flax_dtypes
+
+
+class Conv3x3x3(nn.Module):
+    """nn.Conv(features, (3,3,3), SAME)-compatible module (identical
+    'kernel'/'bias' params, promote-dtype semantics) that dispatches to the
+    Pallas implicit-GEMM kernel on TPU when the shape fits.
+
+    impl: "auto" (Pallas on TPU when feasible), "xla", or "pallas"
+    (force; interpret-mode off-TPU — used by tests)."""
+    features: int
+    dtype: Any = jnp.float32
+    impl: str = "auto"
+    # plain lecun_normal: jax's variance_scaling counts the receptive
+    # field into fan_in for rank-5 kernels, matching nn.Conv's default
+    kernel_init: Any = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init,
+                            (3, 3, 3, C, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        x, kernel, bias = flax_dtypes.promote_dtype(
+            x, kernel, bias, dtype=self.dtype)
+        squeeze = x.ndim == 4
+        if squeeze:                      # unbatched [D, H, W, C]
+            x = x[None]
+        plan, interpret = None, False
+        if self.impl == "pallas" or (
+                self.impl == "auto" and jax.default_backend() == "tpu"):
+            plan = conv_plan_feasible(x.shape[:4], C, self.features, x.dtype)
+            interpret = jax.default_backend() != "tpu"
+        out = conv3x3x3(x, kernel, bias.astype(jnp.float32), plan, interpret)
+        return out[0] if squeeze else out
