@@ -20,9 +20,12 @@ from infinicube_tpu.ops.dense_conv import (
 SHAPES = [
     ((2, 64, 64, 64), 192, 192),
     ((2, 64, 64, 64), 384, 192),
+    ((2, 64, 64, 64), 384, 384),
     ((2, 32, 32, 32), 384, 384),
     ((2, 32, 32, 32), 768, 384),
+    ((2, 32, 32, 32), 768, 768),
     ((2, 16, 16, 16), 768, 768),
+    ((2, 16, 16, 16), 1536, 768),
 ]
 
 
@@ -46,7 +49,8 @@ def main():
         b = jnp.zeros((O,), jnp.float32)
         plan = conv_plan_feasible(shape, C, O, dt)
         if os.environ.get("BY"):
-            plan = (int(os.environ["BY"]), int(os.environ["OBLK"]))
+            plan = (int(os.environ["BY"]), int(os.environ["OBLK"]),
+                    int(os.environ.get("CBLK", C)))
         flops = 2 * B * D * H * W * 27 * C * O
         t_x = timeit(jax.jit(lambda x, w, b: _xla_conv(x, w, b)), x, w, b)
         r_x = flops / t_x / 1e12

@@ -98,10 +98,11 @@ class SelfAttention3D(nn.Module):
         q, k, v = jnp.split(qkv.reshape(B, -1, 3, self.num_heads,
                                         C // self.num_heads), 3, axis=2)
         q, k, v = q.squeeze(2), k.squeeze(2), v.squeeze(2)
-        scale = 1.0 / math.sqrt(q.shape[-1])
-        attn = jnp.einsum("bqhc,bkhc->bhqk", q, k).astype(jnp.float32) * scale
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bkhc->bqhc", attn, v).reshape(B, -1, C)
+        # memory-linear dispatch: the ds=4 blocks run 4096 tokens at C=768
+        # and the materialized [B, 8, 4096, 4096] f32 logits are 537 MB of
+        # HBM traffic per block — the flash kernel keeps them in VMEM
+        from infinicube_tpu.ops.attention import multi_head_attention
+        out = multi_head_attention(q, k, v).reshape(B, -1, C)
         out = nn.Dense(C, dtype=self.dtype,
                        kernel_init=nn.initializers.zeros, name="proj")(out)
         return x + out.reshape(B, D, H, W, C)

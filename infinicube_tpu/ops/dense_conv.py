@@ -66,8 +66,13 @@ def _divisors_desc(n: int):
 
 
 def conv_plan_feasible(shape, C: int, O: int, dtype) -> tuple | None:
-    """Return (by, oblk) for x [B, D, H, W, C] -> O, or None when the
-    shape doesn't fit the kernel (then the caller falls back to XLA)."""
+    """Return (by, oblk, cblk) for x [B, D, H, W, C] -> O, or None when the
+    shape doesn't fit the kernel (then the caller falls back to XLA).
+
+    oblk chunks the output channels (weight columns); cblk chunks the
+    CONTRACTION (weight rows + input channels) with an f32 scratch
+    accumulator across chunks — this is what lets the 768/1536-wide
+    decoder layers fit the VMEM weight budget."""
     B, D, H, W = shape
     s = jnp.dtype(dtype).itemsize
     if C < 64 or O < 64 or min(D, H, W) < 3:
@@ -75,28 +80,35 @@ def conv_plan_feasible(shape, C: int, O: int, dtype) -> tuple | None:
     if C % 8 or O % 8 or W % 8:
         return None
     best = None
-    # Mosaic block rule: the weight chunk's minor dim 3*oblk must be a
-    # multiple of 128 or the whole 3*O -> oblk == O or oblk % 128 == 0
+    # Mosaic block rule: a block's minor dim must be a multiple of 128 or
+    # the whole array dim -> oblk == O or oblk % 128 == 0; same for cblk
     oblks = [O] + [o for o in _divisors_desc(O) if o % 128 == 0 and o < O]
+    cblks = [C] + [c for c in _divisors_desc(C) if c % 128 == 0 and c < C]
     for oblk in oblks:
-        nq = O // oblk
-        wbuf = 1 if nq == 1 else 2         # constant index map: one DMA
-        for by in [d for d in _divisors_desc(H)]:
-            R = by * W
-            if R < 128 or R > 4096:
-                continue
-            vmem = (2 * 9 * R * C * s          # input blocks, double-buffered
-                    + R * 9 * C * s            # im2col lhs
-                    + wbuf * 9 * C * 3 * oblk * s   # weight chunk
-                    + R * 3 * oblk * 4         # matmul accumulator (f32)
-                    + R * 3 * oblk * 4         # rolled/masked temps
-                    + 2 * R * oblk * s)        # output block
-            if vmem <= _VMEM_BUDGET:
-                score = (min(R, 1024), oblk)   # prefer big M, then big chunks
-                if best is None or score > best[0]:
-                    best = (score, (by, oblk))
-        if best is not None and best[0][0] >= 512:
-            break
+        for cblk in cblks:
+            nq, ncc = O // oblk, C // cblk
+            wbuf = 1 if nq * ncc == 1 else 2   # constant index map: one DMA
+            for by in _divisors_desc(H):
+                R = by * W
+                if R < 128 or R > 4096:
+                    continue
+                # chunked weights re-DMA the full matrix once per (b,d,h)
+                # group: arithmetic intensity wrt weights is R FLOP/byte,
+                # so small planes go weight-bound (measured parity-or-worse
+                # at 16^3) — require big row tiles when chunking
+                if nq * ncc > 1 and R < 512:
+                    continue
+                vmem = (2 * 9 * R * cblk * s   # input blocks, double-buffered
+                        + R * 9 * cblk * s     # im2col lhs
+                        + wbuf * 9 * cblk * 3 * oblk * s   # weight chunk
+                        + R * 3 * oblk * 4     # f32 scratch accumulator
+                        + R * 3 * oblk * 4     # rolled/masked temps
+                        + 2 * R * oblk * s)    # output block
+                if vmem <= _VMEM_BUDGET:
+                    # prefer big M tiles, then unchunked K, then big chunks
+                    score = (min(R, 1024), cblk, oblk)
+                    if best is None or score > best[0]:
+                        best = (score, (by, oblk, cblk))
     return None if best is None else best[1]
 
 
@@ -105,72 +117,88 @@ def conv_plan_feasible(shape, C: int, O: int, dtype) -> tuple | None:
 # ---------------------------------------------------------------------------
 
 
-def _kernel(*refs, W: int, O: int, oblk: int, out_dtype):
-    x_refs = refs[:9]                   # (dz, dy) row-major, each [1,1,R,C]
-    w_ref, b_ref, o_ref = refs[9], refs[10], refs[11]
-    lhs = jnp.concatenate([r[0, 0] for r in x_refs], axis=-1)     # [R, 9C]
-    acc = jnp.dot(lhs, w_ref[...],
-                  preferred_element_type=jnp.float32)             # [R, 3*ob]
-    t0 = acc[:, :oblk]
-    t1 = acc[:, oblk:2 * oblk]
-    t2 = acc[:, 2 * oblk:]
-    R = t1.shape[0]
-    pos = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) % W
-    # dx taps: out[w] += in[w-1] @ K0 + in[w] @ K1 + in[w+1] @ K2.
-    # roll(t0,+1)[m] = t0[m-1]; wrapped rows (w==0) are the zero y/x halo.
-    out = (t1
-           + jnp.where(pos == 0, 0.0, pltpu.roll(t0, shift=1, axis=0))
-           + jnp.where(pos == W - 1, 0.0,
-                       pltpu.roll(t2, shift=R - 1, axis=0)))
-    out = out + b_ref[...]
-    o_ref[0, 0] = out.astype(out_dtype)
+def _kernel(*refs, W: int, oblk: int, ncc: int, out_dtype):
+    x_refs = refs[:9]                 # (dz, dy) row-major, each [1,1,R,cblk]
+    w_ref, b_ref, o_ref, acc_ref = refs[9], refs[10], refs[11], refs[12]
+    lhs = jnp.concatenate([r[0, 0] for r in x_refs], axis=-1)   # [R, 9*cblk]
+    part = jnp.dot(lhs, w_ref[...],
+                   preferred_element_type=jnp.float32)          # [R, 3*ob]
+    cc = pl.program_id(4)
+
+    @pl.when(cc == 0)
+    def _init():
+        acc_ref[...] = part
+
+    @pl.when(cc > 0)
+    def _accum():
+        acc_ref[...] += part
+
+    @pl.when(cc == ncc - 1)
+    def _finish():
+        acc = acc_ref[...]
+        t0 = acc[:, :oblk]
+        t1 = acc[:, oblk:2 * oblk]
+        t2 = acc[:, 2 * oblk:]
+        R = t1.shape[0]
+        pos = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) % W
+        # dx taps: out[w] += in[w-1] @ K0 + in[w] @ K1 + in[w+1] @ K2.
+        # roll(t0,+1)[m] = t0[m-1]; wrapped rows (w==0) are the zero halo.
+        out = (t1
+               + jnp.where(pos == 0, 0.0, pltpu.roll(t0, shift=1, axis=0))
+               + jnp.where(pos == W - 1, 0.0,
+                           pltpu.roll(t2, shift=R - 1, axis=0)))
+        out = out + b_ref[...]
+        o_ref[0, 0] = out.astype(out_dtype)
 
 
-def _pallas_conv(x, w_mat, bias, *, H, W, O, by, oblk, interpret):
-    """x [B, D, H, W, C]; w_mat [9C, 3O] in (q dx oo) column order;
-    bias [1, O] f32. Returns [B, D, H, W, O] in x.dtype."""
+def _pallas_conv(x, w_mat, bias, *, H, W, O, by, oblk, cblk, interpret):
+    """x [B, D, H, W, C]; w_mat [9C, 3O] in (cc dz dy c) x (q dx oo)
+    order; bias [1, O] f32. Returns [B, D, H, W, O] in x.dtype."""
     B, D, _, _, C = x.shape
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
     xm = xp.reshape(B, D + 2, (H + 2) * W, C)
     xviews = [jax.lax.slice_in_dim(xm, dy * W, dy * W + H * W, axis=2)
               for dy in range(3)]
-    nq = O // oblk
-    grid = (B, D, H // by, nq)
+    nq, ncc = O // oblk, C // cblk
+    grid = (B, D, H // by, nq, ncc)
 
     def x_map(dz):
-        return lambda b, d, h, q: (b, d + dz, h, 0)
+        return lambda b, d, h, q, cc: (b, d + dz, h, cc)
 
-    in_specs = [pl.BlockSpec((1, 1, by * W, C), x_map(dz))
+    in_specs = [pl.BlockSpec((1, 1, by * W, cblk), x_map(dz))
                 for dz in range(3) for _ in range(3)]
-    in_specs.append(pl.BlockSpec((9 * C, 3 * oblk),
-                                 lambda b, d, h, q: (0, q)))
-    in_specs.append(pl.BlockSpec((1, oblk), lambda b, d, h, q: (0, q)))
+    in_specs.append(pl.BlockSpec((9 * cblk, 3 * oblk),
+                                 lambda b, d, h, q, cc: (cc, q)))
+    in_specs.append(pl.BlockSpec((1, oblk), lambda b, d, h, q, cc: (0, q)))
     out_spec = pl.BlockSpec((1, 1, by * W, oblk),
-                            lambda b, d, h, q: (b, d, h, q))
+                            lambda b, d, h, q, cc: (b, d, h, q))
     args = [xviews[dy] for dz in range(3) for dy in range(3)]
     args += [w_mat, bias]
     out = pl.pallas_call(
-        functools.partial(_kernel, W=W, O=O, oblk=oblk, out_dtype=x.dtype),
+        functools.partial(_kernel, W=W, oblk=oblk, ncc=ncc,
+                          out_dtype=x.dtype),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((B, D, H * W, O), x.dtype),
+        scratch_shapes=[pltpu.VMEM((by * W, 3 * oblk), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary",
-                                 "arbitrary")),
+                                 "arbitrary", "arbitrary")),
         interpret=interpret,
     )(*args)
     return out.reshape(B, D, H, W, O)
 
 
-def _pack_weights(w, oblk: int):
-    """[3,3,3,C,O] -> [9C, 3O] with columns ordered (q, dx, oo) so each
-    O-chunk q is one contiguous [9C, 3*oblk] block."""
+def _pack_weights(w, oblk: int, cblk: int):
+    """[3,3,3,C,O] -> [9C, 3O] with rows ordered (cc, dz, dy, c) and
+    columns (q, dx, oo) so each (cc, q) chunk is one contiguous
+    [9*cblk, 3*oblk] block."""
     C, O = w.shape[3], w.shape[4]
-    nq = O // oblk
+    nq, ncc = O // oblk, C // cblk
     w2 = w.transpose(0, 1, 3, 2, 4)                 # [dz, dy, C, dx, O]
-    w3 = w2.reshape(3, 3, C, 3, nq, oblk)
-    return w3.transpose(0, 1, 2, 4, 3, 5).reshape(9 * C, 3 * O)
+    w3 = w2.reshape(3, 3, ncc, cblk, 3, nq, oblk)
+    return w3.transpose(2, 0, 1, 3, 5, 4, 6).reshape(9 * C, 3 * O)
 
 
 # ---------------------------------------------------------------------------
@@ -189,12 +217,13 @@ def _xla_conv(x, w, bias):
 def _fwd_impl(x, w, bias, plan, interpret):
     if plan is None:
         return _xla_conv(x, w, bias)
-    by, oblk = plan
+    by, oblk, cblk = plan
     B, D, H, W, C = x.shape
     O = w.shape[-1]
-    w_mat = _pack_weights(w.astype(x.dtype), oblk)
+    w_mat = _pack_weights(w.astype(x.dtype), oblk, cblk)
     return _pallas_conv(x, w_mat, bias.astype(jnp.float32)[None], H=H, W=W,
-                        O=O, by=by, oblk=oblk, interpret=interpret)
+                        O=O, by=by, oblk=oblk, cblk=cblk,
+                        interpret=interpret)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))

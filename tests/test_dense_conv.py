@@ -64,17 +64,23 @@ def test_infeasible_shapes_fall_back():
 
 
 def test_release_shapes_have_plans():
-    # the shapes where XLA conv3d leaves the most on the table (56 TF/s at
-    # 192 ch, docs/PERF.md); 768-wide layers fall back to XLA (weight
-    # chunk exceeds VMEM, and XLA already runs ~90 TF/s at wide channels)
+    # every 3x3x3 stride-1 shape the 750M UNet runs at 64^3/32^3/16^3
+    # must engage the kernel (wide layers via O- and C-chunking)
     for shape, C, O in [((2, 64, 64, 64), 192, 192),
                         ((2, 64, 64, 64), 384, 192),   # decoder concat
-                        ((2, 32, 32, 32), 384, 384)]:
+                        ((2, 64, 64, 64), 384, 384),   # up1
+                        ((2, 32, 32, 32), 384, 384),
+                        ((2, 32, 32, 32), 768, 384),   # decoder concat
+                        ((2, 32, 32, 32), 768, 768)]:  # up2
         plan = conv_plan_feasible(shape, C, O, jnp.bfloat16)
         assert plan is not None, (shape, C, O)
-        by, oblk = plan
-        assert shape[2] % by == 0 and O % oblk == 0
-        assert oblk == O or (3 * oblk) % 128 == 0   # Mosaic block rule
+        by, oblk, cblk = plan
+        assert shape[2] % by == 0 and O % oblk == 0 and C % cblk == 0
+        assert oblk == O or oblk % 128 == 0     # Mosaic block rule
+        assert cblk == C or cblk % 128 == 0
+    # 8^3 planes are too small for an MXU tile -> XLA; 16^3 wide layers
+    # are weight-traffic-bound under chunking (measured parity) -> XLA
+    assert conv_plan_feasible((2, 8, 8, 8), 768, 768, jnp.bfloat16) is None
     assert conv_plan_feasible((2, 16, 16, 16), 768, 768, jnp.bfloat16) is None
 
 
