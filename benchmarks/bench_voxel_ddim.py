@@ -16,7 +16,10 @@ from infinicube_tpu.models.diffusion.model import (
 
 def main():
     steps = int(os.environ.get("BENCH_DDIM_STEPS", "10"))
-    cfg = DiffusionConfig()
+    # serving default: int8 MXU convs (quality-gated, tests/test_quant.py);
+    # BENCH_DDIM_PRECISION=bf16 reports the full-precision number
+    precision = os.environ.get("BENCH_DDIM_PRECISION", "int8")
+    cfg = DiffusionConfig(serve_quant=precision == "int8")
     model = VoxelDiffusion(cfg)
     params = jax.jit(model.init)(jax.random.PRNGKey(0))
     cond = CondCubes.null(1, cfg)

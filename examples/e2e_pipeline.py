@@ -6,7 +6,12 @@ diffusion (release-shape 64^3 latent cube, DDIM-10) -> guidance buffers
 dump. With converted checkpoints the same script produces real scenes.
 
 Usage: python examples/e2e_pipeline.py [outdir]
-"""
+
+E2E_STEADY=1 runs every timed stage a SECOND time in-process after the
+first pass and reports both timings — the second pass is the steady-state
+(serving) number with all XLA compiles amortized, the deployment-relevant
+figure (a server keeps the process alive; compiles happen once per
+binary+shape). E2E_VIDEO=0 skips the Wan stage."""
 
 import sys
 import time
@@ -14,13 +19,33 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
+import os
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+STEADY = os.environ.get("E2E_STEADY", "0") == "1"
+
 
 def fence(x):
     return jax.device_get(jax.tree.leaves(x)[0].ravel()[0])
+
+
+def timed(label, fn):
+    """Run fn once (cold, includes compiles); in E2E_STEADY mode run it
+    again and report the steady-state (compile-free) wall time."""
+    import time as _t
+    t0 = _t.perf_counter()
+    out = fn()
+    cold = _t.perf_counter() - t0
+    if STEADY:
+        t0 = _t.perf_counter()
+        out = fn()
+        warm = _t.perf_counter() - t0
+        print(f"[{label}] cold {cold:.1f}s -> steady {warm:.1f}s")
+    else:
+        print(f"[{label}] {cold:.1f}s")
+    return out
 
 
 def main(outdir="out/e2e"):
@@ -53,14 +78,13 @@ def main(outdir="out/e2e"):
                               finest_voxel_size=0.2)
     T_ego = np.tile(np.eye(4), (30, 1, 1))
     T_ego[:, 0, 3] = np.linspace(0, 45, 30)
-    t0 = time.perf_counter()
     maps = {"road_edge": np.stack([np.linspace(0, 80, 200),
                                    np.full(200, -4.0), np.zeros(200)], -1),
             "road_line": np.stack([np.linspace(0, 80, 200),
                                    np.full(200, 4.0), np.zeros(200)], -1)}
-    world = gen.generate_trajectory(T_ego, map_points=maps, seed=0)
-    print(f"[stage1] world: {world.num_voxels} voxels in "
-          f"{time.perf_counter()-t0:.1f}s")
+    world = timed("stage1 world", lambda: gen.generate_trajectory(
+        T_ego, map_points=maps, seed=0))
+    print(f"[stage1] world: {world.num_voxels} voxels")
 
     from infinicube_tpu.inference.guidance_buffer_generation import (
         save_voxel_world)
@@ -74,13 +98,15 @@ def main(outdir="out/e2e"):
     poses = np.tile(np.eye(4), (93, 1, 1))
     poses[:, 0, 3] = np.linspace(0, 40, 93)
     poses[:, 2, 3] = 1.8
-    t0 = time.perf_counter()
-    buffers = generate_buffers_for_world(world, poses, cam)
-    fence(buffers["depth"])
-    print(f"[stage2] buffers 93f@480p in {time.perf_counter()-t0:.1f}s "
-          f"(hit {float((np.asarray(buffers['depth']) > 0).mean()):.2f})")
+    def _buffers():
+        b = generate_buffers_for_world(world, poses, cam)
+        fence(b["depth"])
+        return b
+    buffers = timed("stage2 buffers 93f@480p", _buffers)
+    print(f"[stage2] hit {float((np.asarray(buffers['depth']) > 0).mean()):.2f}")
     write_buffer_tars(outdir / "buffers", buffers, poses, cam)
     save_voxel_world(outdir / "buffers" / "world.npz", world)
+    del gen, params, diffusion   # release stage-1 HBM (3 GB) for the DiT
 
     # ---- stage 2.5: Wan video generation (E2E_VIDEO=0 to skip) -----------
     # the reference's ~20-min A100 video stage (README.md:65): 1.3B DiT,
@@ -92,13 +118,11 @@ def main(outdir="out/e2e"):
         from infinicube_tpu.models.wan.pipeline import (
             WanPipelineConfig, WanVideoGenerator)
         sem_rgb, coord = write_preview_videos(outdir / "buffers", buffers)
-        t0 = time.perf_counter()
         gen = WanVideoGenerator(WanPipelineConfig())
         gen.params = gen.init_params(jax.random.PRNGKey(0))
-        frames = gen.generate((sem_rgb[:93] * 255).astype(np.uint8),
-                              coord[:93], "a realistic driving scene")
-        print(f"[stage2.5] video 93f@480p 50-step CFG in "
-              f"{time.perf_counter()-t0:.1f}s")
+        frames = timed("stage2.5 video 93f@480p 50-step CFG", lambda:
+                       gen.generate((sem_rgb[:93] * 255).astype(np.uint8),
+                                    coord[:93], "a realistic driving scene"))
         from infinicube_tpu.utils.fileio import write_video
         write_video(outdir / "video.mp4", frames)
         video_frames = np.asarray(frames, np.float32) / 255.0
@@ -129,11 +153,9 @@ def main(outdir="out/e2e"):
         sky=SkyConfig(embed_dim=64, num_layers=2, num_heads=4),
         dense_dims=(512, 256, 64), dense_ijk_min=(-32, -128, -16),
         render_tile_capacity=128)
-    t0 = time.perf_counter()
-    static_gs, object_gs, out, _, _ = reconstruct_scene(data, cfg=gcfg,
-                                                        max_views=2)
-    print(f"[stage3] {len(static_gs['means'])} gaussians in "
-          f"{time.perf_counter()-t0:.1f}s")
+    static_gs, object_gs, out, _, _ = timed(
+        "stage3 GSM", lambda: reconstruct_scene(data, cfg=gcfg, max_views=2))
+    print(f"[stage3] {len(static_gs['means'])} gaussians")
     save_pkl(outdir / "decoded_gs_static.pkl", static_gs)
     save_splat(outdir / "decoded_gs_static.splat", static_gs)
     from PIL import Image

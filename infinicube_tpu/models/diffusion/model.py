@@ -51,6 +51,9 @@ class DiffusionConfig:
     transformer_depth: int = 12
     dtype: Any = jnp.bfloat16
     remat: bool = False
+    serve_quant: bool = False   # int8 MXU convs in sample() only (dynamic
+    # per-channel quantization, ops/dense_conv.py; training/train_loss keep
+    # full precision — quality gate in tests/test_quant.py)
     # conditioning (release: concat_scube_general pos+map+box; the alt
     # modes mirror _forward_cond, reference diffusion.py:501-914)
     num_map_types: int = 3
@@ -192,6 +195,9 @@ class VoxelDiffusion:
             transformer_depth=cfg.transformer_depth,
             context_dim=cfg.context_dim,
             dtype=cfg.dtype, remat=cfg.remat)
+        # serving twin: identical param tree, int8 convs when cfg.serve_quant
+        self.unet_serve = self.unet if not cfg.serve_quant else \
+            self.unet.clone(conv_quant=True)
         self.cond_enc = CondEncoders(cfg) if cfg.extra_cond_channels else None
         self.schedule = NoiseSchedule.linear(
             cfg.num_train_timesteps, cfg.beta_start, cfg.beta_end)
@@ -268,14 +274,15 @@ class VoxelDiffusion:
             parts.append(ec)
         return jnp.concatenate(parts, axis=-1)
 
-    def denoise(self, params, x, t, cond: CondCubes):
+    def denoise(self, params, x, t, cond: CondCubes, serve: bool = False):
         kw = {}
         if self.cfg.context_dim and cond.context is not None:
             kw["context"] = cond.context
         if self.cfg.num_classes and cond.class_oh is not None:
             kw["y_emb"] = cond.class_oh
-        return self.unet.apply(self._unet_params(params),
-                               self._assemble(x, cond), t, **kw)
+        net = self.unet_serve if serve else self.unet
+        return net.apply(self._unet_params(params),
+                         self._assemble(x, cond), t, **kw)
 
     # ---- training ---------------------------------------------------------
     def train_loss(self, params, rng: jax.Array, latents: jnp.ndarray,
@@ -350,12 +357,13 @@ class VoxelDiffusion:
 
             def model_fn(x, t):
                 out = self.denoise(params, jnp.concatenate([x, x]),
-                                   jnp.concatenate([t, t]), cond2)
+                                   jnp.concatenate([t, t]), cond2,
+                                   serve=True)
                 c, u = jnp.split(out, 2, axis=0)
                 return u + guidance_scale * (c - u)
         else:
             def model_fn(x, t):
-                return self.denoise(params, x, t, cond)
+                return self.denoise(params, x, t, cond, serve=True)
 
         callback = None
         if use_sdedit and sdedit is not None:

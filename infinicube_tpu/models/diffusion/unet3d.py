@@ -59,12 +59,13 @@ class ResBlock3D(nn.Module):
     conv_impl: str = "auto"   # Pallas implicit-GEMM 3x3x3 on TPU (same
     # param tree as nn.Conv; ops/dense_conv.py — the conv wall measured
     # in docs/PERF.md's DDIM row)
+    conv_quant: bool = False  # int8 MXU conv serving path
 
     @nn.compact
     def __call__(self, x, emb, deterministic: bool = True):
         h = nn.silu(GroupNorm32()(x))
         h = Conv3x3x3(self.out_ch, dtype=self.dtype, impl=self.conv_impl,
-                      name="conv1")(h)
+                      quant=self.conv_quant, name="conv1")(h)
         e = nn.Dense(2 * self.out_ch if self.use_scale_shift_norm else self.out_ch,
                      dtype=self.dtype, name="emb_proj")(nn.silu(emb))
         e = e[:, None, None, None, :]
@@ -78,6 +79,7 @@ class ResBlock3D(nn.Module):
         if self.dropout > 0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = Conv3x3x3(self.out_ch, dtype=self.dtype, impl=self.conv_impl,
+                      quant=self.conv_quant,
                       kernel_init=nn.initializers.zeros, name="conv2")(h)
         if x.shape[-1] != self.out_ch:
             x = nn.Conv(self.out_ch, (1, 1, 1), dtype=self.dtype,
@@ -199,6 +201,8 @@ class UNet3D(nn.Module):
     # memory <-> recompute trade, jax.checkpoint)
     conv_impl: str = "auto"   # "auto": Pallas 3x3x3 conv on TPU where the
     # shape fits (ops/dense_conv.py), XLA elsewhere; "xla" forces XLA
+    conv_quant: bool = False  # int8 MXU convs (serving; quality-gated in
+    # tests/test_quant.py — gradients keep the full-precision kernel)
 
     @nn.compact
     def __call__(self, x, t, context=None, y_emb=None,
@@ -219,13 +223,14 @@ class UNet3D(nn.Module):
 
         x = x.astype(self.dtype)
         h = Conv3x3x3(ch, dtype=self.dtype, impl=self.conv_impl,
-                      name="in_conv")(x)
+                      quant=self.conv_quant, name="in_conv")(x)
         skips = [h]
         ds = 1
         for level, mult in enumerate(self.channel_mult):
             for _ in range(self.num_res_blocks):
                 h = ResBlock(mult * ch, self.dtype, dropout=self.dropout,
-                             conv_impl=self.conv_impl)(
+                             conv_impl=self.conv_impl,
+                             conv_quant=self.conv_quant)(
                     h, emb, deterministic)
                 if ds in self.attention_ds:
                     h = SelfAttention3D(self.num_heads, self.dtype)(h)
@@ -237,17 +242,20 @@ class UNet3D(nn.Module):
                 skips.append(h)
 
         h = ResBlock(h.shape[-1], self.dtype, dropout=self.dropout,
-                     conv_impl=self.conv_impl)(h, emb, deterministic)
+                     conv_impl=self.conv_impl,
+                     conv_quant=self.conv_quant)(h, emb, deterministic)
         h = Transformer(self.transformer_depth, self.num_heads,
                         self.dtype, name="middle_transformer")(h, context)
         h = ResBlock(h.shape[-1], self.dtype, dropout=self.dropout,
-                     conv_impl=self.conv_impl)(h, emb, deterministic)
+                     conv_impl=self.conv_impl,
+                     conv_quant=self.conv_quant)(h, emb, deterministic)
 
         for level, mult in reversed(list(enumerate(self.channel_mult))):
             for i in range(self.num_res_blocks + 1):
                 h = jnp.concatenate([h, skips.pop()], axis=-1)
                 h = ResBlock(mult * ch, self.dtype, dropout=self.dropout,
-                             conv_impl=self.conv_impl)(
+                             conv_impl=self.conv_impl,
+                             conv_quant=self.conv_quant)(
                     h, emb, deterministic)
                 if ds in self.attention_ds:
                     h = SelfAttention3D(self.num_heads, self.dtype)(h)
@@ -255,7 +263,7 @@ class UNet3D(nn.Module):
                 B, D, H, W, C = h.shape
                 h = jax.image.resize(h, (B, 2 * D, 2 * H, 2 * W, C), "nearest")
                 h = Conv3x3x3(C, dtype=self.dtype, impl=self.conv_impl,
-                              name=f"up{level}")(h)
+                              quant=self.conv_quant, name=f"up{level}")(h)
                 ds //= 2
 
         h = nn.silu(GroupNorm32()(h))

@@ -81,10 +81,26 @@ class WanVideoGenerator:
                                    else jax.random.PRNGKey(0))
             for tower in missing:
                 params[tower] = init[tower]
+        if "t5" in params:
+            # pin the text tower to host memory: umt5-xxl (23 GB f32) does
+            # not fit beside the DiT on a single chip and runs one short
+            # prompt per clip — encode_text executes it where it lives
+            cpu = jax.devices("cpu")[0]
+            params["t5"] = jax.tree.map(
+                lambda a: jax.device_put(a, cpu), params["t5"])
         gen.params = params
         return gen
 
-    def init_params(self, rng: jax.Array, tiny_shapes: bool = False) -> dict:
+    def init_params(self, rng: jax.Array, tiny_shapes: bool = True) -> dict:
+        """Random params for all three towers. No Wan param shape depends on
+        the input extent (RoPE/timestep tables are computed on the fly), so
+        init always traces TINY shapes — tracing the release 93f@480p encode
+        at init needs ~20 GB and OOMs a v5e for nothing.
+
+        The umt5-xxl tower (~5.7B params, 23 GB f32) is initialized ON THE
+        HOST CPU: a single-chip v5e cannot hold it beside the DiT, and its
+        serving compute (one short prompt per clip, ~2 GFLOPs) is noise —
+        ``encode_text`` runs it wherever its params live (see there)."""
         cfg = self.cfg
         T, H, W = (3, 8, 8) if tiny_shapes else cfg.latent_thw
         r1, r2, r3 = jax.random.split(rng, 3)
@@ -95,24 +111,37 @@ class WanVideoGenerator:
         t_frames = 1 + 4 * (T - 1)
         vid = jnp.zeros((1, t_frames, H * 8, W * 8, 3))
         vae_p = self.vae.init(r2, vid, jax.random.PRNGKey(0))
-        tok = jnp.zeros((1, 8), jnp.int32)
-        t5_p = self.t5.init(r3, tok, jnp.ones((1, 8), bool))
+        with jax.default_device(jax.devices("cpu")[0]):
+            tok = jnp.zeros((1, 8), jnp.int32)
+            t5_p = self.t5.init(r3, tok, jnp.ones((1, 8), bool))
         return {"dit": dit_p, "vae": vae_p, "t5": t5_p}
 
     # ---- text -------------------------------------------------------------
     def encode_text(self, params, prompt: str) -> jnp.ndarray:
+        """Runs the T5 tower ON THE DEVICE ITS PARAMS LIVE ON (host CPU by
+        default — umt5-xxl does not fit a single v5e beside the DiT and
+        encodes one prompt per clip) and ships only the [1, L, 4096]
+        embedding to the accelerator."""
         if self.tokenizer is not None:
             ids = self.tokenizer(prompt, return_tensors="np",
                                  padding="max_length", truncation=True,
                                  max_length=self.cfg.max_text_len)
-            tokens = jnp.asarray(ids["input_ids"], jnp.int32)
-            mask = jnp.asarray(ids["attention_mask"], bool)
+            tok_np = np.asarray(ids["input_ids"], np.int32)
+            mask_np = np.asarray(ids["attention_mask"], bool)
         else:  # deterministic hash tokenization fallback (no-weights mode)
             words = prompt.split()[: self.cfg.max_text_len]
-            tokens = jnp.asarray([[abs(hash(w)) % self.cfg.t5.vocab_size
-                                   for w in words] or [0]], jnp.int32)
-            mask = jnp.ones_like(tokens, bool)
-        return self.t5.apply(params["t5"], tokens, mask)
+            tok_np = np.asarray([[abs(hash(w)) % self.cfg.t5.vocab_size
+                                  for w in words] or [0]], np.int32)
+            mask_np = np.ones_like(tok_np, bool)
+        leaf = jax.tree.leaves(params["t5"])[0]
+        devs = leaf.devices() if hasattr(leaf, "devices") else set()
+        t5_dev = next(iter(devs)) if devs else jax.devices()[0]
+        with jax.default_device(t5_dev):
+            out = self.t5.apply(params["t5"], jnp.asarray(tok_np),
+                                jnp.asarray(mask_np))
+        if t5_dev.platform == "cpu" and jax.devices()[0].platform != "cpu":
+            out = jax.device_put(np.asarray(out), jax.devices()[0])
+        return out
 
     # ---- buffers ----------------------------------------------------------
     def encode_buffers(self, params, semantic_rgb: jnp.ndarray,
@@ -161,8 +190,10 @@ class WanVideoGenerator:
 
     # ---- sampling ---------------------------------------------------------
     @partial(jax.jit, static_argnames=("self", "num_steps", "guidance_scale"))
-    def _denoise(self, params, rng, text_emb, null_emb, buffer_latents,
+    def _denoise(self, dit_params, rng, text_emb, null_emb, buffer_latents,
                  num_steps: int, guidance_scale: float):
+        # takes ONLY the DiT tower — jitting the full param dict would ship
+        # the host-resident umt5-xxl (23 GB) and the VAE into device HBM
         cfg = self.cfg
         T, H, W = buffer_latents.shape[1:4]
         x_T = jax.random.normal(rng, (1, T, H, W, cfg.dit.in_channels))
@@ -174,7 +205,7 @@ class WanVideoGenerator:
             tt = jnp.concatenate([t, t])
             ctx = jnp.concatenate([text_emb, null_emb])
             buf = jnp.concatenate([buffer_latents, buffer_latents])
-            out = self.dit.apply(params["dit"], xx, tt, ctx, buf)
+            out = self.dit.apply(dit_params, xx, tt, ctx, buf)
             c, u = jnp.split(out, 2, axis=0)
             return u + guidance_scale * (c - u)
 
@@ -190,9 +221,11 @@ class WanVideoGenerator:
                  negative_prompt: str = "", seed: int = 0,
                  num_steps: int | None = None,
                  guidance_scale: float | None = None,
-                 tiled: bool = False) -> np.ndarray:
+                 tiled: bool | None = None) -> np.ndarray:
         """Main entry (reference inference.py:164-236). Buffers [T, H, W, 3];
-        returns uint8 frames [T, H, W, 3]."""
+        returns uint8 frames [T, H, W, 3]. ``tiled`` defaults to auto: the
+        release 93f@480p full-frame decode needs ~20 GB, so frames above the
+        threshold go through the tiled device-blend decode."""
         assert self.params is not None, "load or init params first"
         cfg = self.cfg
         params = self.params
@@ -202,10 +235,13 @@ class WanVideoGenerator:
         text = jnp.pad(text, ((0, 0), (0, L - text.shape[1]), (0, 0)))
         null = jnp.pad(null, ((0, 0), (0, L - null.shape[1]), (0, 0)))
         buf = self.encode_buffers(params, semantic_buffer, coordinate_buffer)
-        z = self._denoise(params, jax.random.PRNGKey(seed), text, null, buf,
+        z = self._denoise(params["dit"], jax.random.PRNGKey(seed), text,
+                          null, buf,
                           num_steps or cfg.num_steps,
                           guidance_scale if guidance_scale is not None
                           else cfg.guidance_scale)
+        if tiled is None:
+            tiled = int(np.prod(z.shape[1:4])) > 3 * 16 * 16
         if tiled:
             from infinicube_tpu.models.wan.vae3d import decode_tiled_host
             # uint8 leaves the device once (host links can be slow)

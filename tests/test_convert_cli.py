@@ -169,8 +169,10 @@ def test_checkpoint_drives_pipeline(released_files, tmp_path, monkeypatch):
     T, H, W = gen.cfg.latent_thw
     buf = jnp.zeros((1, T, H, W, 6))
     text = jnp.zeros((1, 8, 32))
-    z = gen._denoise(gen.params, jax.random.PRNGKey(0), text, text * 0, buf,
-                     2, 5.0)
+    # _denoise takes ONLY the DiT tower (the host-resident umt5-xxl must
+    # never be shipped into the jit)
+    z = gen._denoise(gen.params["dit"], jax.random.PRNGKey(0), text,
+                     text * 0, buf, 2, 5.0)
     assert np.isfinite(np.asarray(z)).all()
 
 

@@ -109,3 +109,37 @@ def test_module_pallas_interpret_matches_xla():
     np.testing.assert_allclose(np.asarray(mod_p.apply(p, x)),
                                np.asarray(mod_x.apply(p, x)),
                                atol=2e-4, rtol=1e-4)
+
+
+def _cosine(a, b):
+    a, b = np.asarray(a, np.float64).ravel(), np.asarray(b, np.float64).ravel()
+    return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+
+def test_int8_forward_cosine_gate():
+    """int8 MXU path: per-input-channel activation scales folded into
+    per-column weight quantization — cosine >= 0.999 vs the f32 oracle."""
+    B, D, H, W, C, O = 1, 4, 8, 32, 128, 128
+    x = _rand((B, D, H, W, C))
+    w = _rand((3, 3, 3, C, O), 0.05, seed=1)
+    b = _rand((O,), seed=2)
+    plan = conv_plan_feasible((B, D, H, W), C, O, jnp.int8, quant=True)
+    assert plan is not None and plan[0] * W % 32 == 0
+    ref = _xla_conv(x, w, b)
+    got = conv3x3x3(x, w, b, plan, True, True)
+    assert _cosine(got, ref) >= 0.999
+
+
+def test_int8_module_and_grads_fall_back_to_full_precision():
+    """quant module forward stays close; gradients come from the
+    full-precision kernel (serving path: straight-through)."""
+    x = _rand((1, 4, 8, 32, 64))
+    mod_x = Conv3x3x3(64, impl="xla")
+    mod_q = Conv3x3x3(64, impl="pallas", quant=True)
+    p = mod_x.init(jax.random.PRNGKey(3), x)
+    assert _cosine(mod_q.apply(p, x), mod_x.apply(p, x)) >= 0.999
+    g_q = jax.grad(lambda xx: jnp.sum(mod_q.apply(p, xx) ** 2))(x)
+    g_x = jax.grad(lambda xx: jnp.sum(mod_x.apply(p, xx) ** 2))(x)
+    # cotangent carries the (quantized) forward output, so allow the same
+    # relative error budget as the forward gate
+    assert _cosine(g_q, g_x) >= 0.999

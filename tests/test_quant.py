@@ -88,3 +88,28 @@ def test_dit_quant_path_cosine_gate():
     out = WanDiT(cfg_q).apply(params, lat, t, txt, buf)
     c = _cos(out, ref)
     assert c > 0.999, c
+
+
+def test_unet3d_conv_quant_cosine_gate():
+    """Voxel UNet with int8 Pallas convs (DiffusionConfig.serve_quant) must
+    stay cosine >= 0.999 against the full-precision forward (same params).
+    Small cube, Pallas interpret mode on CPU."""
+    from infinicube_tpu.models.diffusion.unet3d import UNet3D
+
+    base = dict(out_channels=4, model_channels=64, channel_mult=(1, 2),
+                num_res_blocks=1, attention_ds=(2,), num_heads=4,
+                transformer_depth=1, dtype=jnp.float32)
+    net_b = UNet3D(**base, conv_impl="pallas")
+    net_q = UNet3D(**base, conv_impl="pallas", conv_quant=True)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (1, 4, 8, 32, 8), jnp.float32)
+    t = jnp.array([500])
+    params = net_b.init(rng, x, t)
+    # zero-init output/residual kernels would make both outputs identically
+    # zero — randomize them so the gate measures the stack
+    params = jax.tree_util.tree_map_with_path(
+        lambda p, v: jax.random.normal(jax.random.PRNGKey(3), v.shape,
+                                       v.dtype) * 0.02
+        if v.ndim > 1 and not np.any(np.asarray(v)) else v, params)
+    c = _cos(net_q.apply(params, x, t), net_b.apply(params, x, t))
+    assert c > 0.999, c
