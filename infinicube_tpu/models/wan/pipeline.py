@@ -39,6 +39,11 @@ class WanPipelineConfig:
     guidance_scale: float = 5.0
     shift: float = 5.0
     max_text_len: int = 512
+    # steps per jitted lax.scan chunk: the full 50-step program is one
+    # ~3-4 min device execution, which long-running-program limits on
+    # RPC-attached workers can kill; chunking costs one host dispatch
+    # (~0.1 s) per chunk. 0 = unchunked (the whole loop in one program).
+    denoise_chunk: int = 10
 
     @property
     def latent_thw(self):
@@ -111,9 +116,26 @@ class WanVideoGenerator:
         t_frames = 1 + 4 * (T - 1)
         vid = jnp.zeros((1, t_frames, H * 8, W * 8, 3))
         vae_p = self.vae.init(r2, vid, jax.random.PRNGKey(0))
-        with jax.default_device(jax.devices("cpu")[0]):
+        # T5 random fill via numpy on the host: counter-PRNG normals for
+        # 5.7B params took ~17 min on CPU; the demo tower only needs
+        # checkpoint-shaped finite values (norm scales = 1, rest ~N(0, .02))
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
             tok = jnp.zeros((1, 8), jnp.int32)
-            t5_p = self.t5.init(r3, tok, jnp.ones((1, 8), bool))
+            shapes = jax.eval_shape(self.t5.init, r3, tok,
+                                    jnp.ones((1, 8), bool))
+            rng_np = np.random.default_rng(0)
+
+            def fill(path, s):
+                name = getattr(path[-1], "key", str(path[-1]))
+                if name == "scale":            # RMSNorm gains
+                    a = np.ones(s.shape, np.float32)
+                else:
+                    a = 0.02 * rng_np.standard_normal(s.shape,
+                                                      dtype=np.float32)
+                return jnp.asarray(a, dtype=s.dtype)
+
+            t5_p = jax.tree_util.tree_map_with_path(fill, shapes)
         return {"dit": dit_p, "vae": vae_p, "t5": t5_p}
 
     # ---- text -------------------------------------------------------------
@@ -144,6 +166,32 @@ class WanVideoGenerator:
         return out
 
     # ---- buffers ----------------------------------------------------------
+    def cast_params_bf16(self) -> None:
+        """Serving practice: bf16 resident weights, halving DiT+VAE HBM
+        (the released Wan checkpoints ship bf16; compute is bf16 already
+        and the int8 paths quantize from bf16). Each tower is cast ON THE
+        DEVICE IT LIVES ON — a bare ``astype`` outside a device context
+        migrates host-committed arrays onto the accelerator, which would
+        ship the 23 GB T5 into HBM."""
+        def cast(x):
+            return x.astype(jnp.bfloat16) \
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x
+
+        out = {}
+        for tower, sub in self.params.items():
+            leaves = jax.tree.leaves(sub)
+            devs = leaves[0].devices() if leaves and hasattr(
+                leaves[0], "devices") else set()
+            dev = next(iter(devs)) if devs else None
+            if dev is not None and dev.platform == "cpu":
+                with jax.default_device(dev):
+                    sub = jax.tree.map(cast, sub)
+                sub = jax.tree.map(lambda a: jax.device_put(a, dev), sub)
+            else:
+                sub = jax.tree.map(cast, sub)
+            out[tower] = sub
+        self.params = out
+
     def encode_buffers(self, params, semantic_rgb: jnp.ndarray,
                        coordinate_rgb: jnp.ndarray,
                        tiled: bool | None = None) -> jnp.ndarray:
@@ -151,6 +199,9 @@ class WanVideoGenerator:
         ``tiled`` defaults to auto (tiles when the frame area is release
         scale — full-frame encode at 93f 480p needs ~20 GB)."""
         def norm(v):
+            # ship uint8 over the host link, normalize on device (a 93f@480p
+            # f32 buffer is 445 MB vs 111 MB raw)
+            v = jnp.asarray(v)
             v = v.astype(jnp.float32)
             v = v / 127.5 - 1.0 if v.max() > 1.5 else v * 2.0 - 1.0
             return v[None]
@@ -189,17 +240,13 @@ class WanVideoGenerator:
         return loss, {"fm_mse": loss}
 
     # ---- sampling ---------------------------------------------------------
-    @partial(jax.jit, static_argnames=("self", "num_steps", "guidance_scale"))
-    def _denoise(self, dit_params, rng, text_emb, null_emb, buffer_latents,
-                 num_steps: int, guidance_scale: float):
-        # takes ONLY the DiT tower — jitting the full param dict would ship
-        # the host-resident umt5-xxl (23 GB) and the VAE into device HBM
-        cfg = self.cfg
-        T, H, W = buffer_latents.shape[1:4]
-        x_T = jax.random.normal(rng, (1, T, H, W, cfg.dit.in_channels))
-        sig = self.schedule.sigmas(num_steps)
-        ts = sig[:-1] * self.schedule.num_train_timesteps
-
+    @partial(jax.jit, static_argnames=("self", "guidance_scale"),
+             donate_argnums=(2,))
+    def _denoise_chunk(self, dit_params, x, schedule_slice, text_emb,
+                       null_emb, buffer_latents, guidance_scale: float):
+        """One jitted lax.scan over a CHUNK of denoise steps. Takes ONLY
+        the DiT tower — jitting the full param dict would ship the
+        host-resident umt5-xxl (23 GB) and the VAE into device HBM."""
         def model_fn(x, t):
             xx = jnp.concatenate([x, x])
             tt = jnp.concatenate([t, t])
@@ -214,7 +261,26 @@ class WanVideoGenerator:
             v = model_fn(x, jnp.full((1,), t, jnp.float32))
             return x + (s_next - s) * v, None
 
-        x, _ = jax.lax.scan(step, x_T, (ts, sig[:-1], sig[1:]))
+        x, _ = jax.lax.scan(step, x, schedule_slice)
+        return x
+
+    def _denoise(self, dit_params, rng, text_emb, null_emb, buffer_latents,
+                 num_steps: int, guidance_scale: float):
+        """Flow-matching Euler CFG loop, run as ceil(num_steps/chunk)
+        jitted scan programs (cfg.denoise_chunk) — one unchunked program
+        is a multi-minute single device execution, which long-running-
+        program limits on RPC-attached workers can kill."""
+        cfg = self.cfg
+        T, H, W = buffer_latents.shape[1:4]
+        x = jax.random.normal(rng, (1, T, H, W, cfg.dit.in_channels))
+        sig = self.schedule.sigmas(num_steps)
+        ts = sig[:-1] * self.schedule.num_train_timesteps
+        chunk = cfg.denoise_chunk or num_steps
+        for i in range(0, num_steps, chunk):
+            sl = slice(i, min(i + chunk, num_steps))
+            x = self._denoise_chunk(
+                dit_params, x, (ts[sl], sig[:-1][sl], sig[1:][sl]),
+                text_emb, null_emb, buffer_latents, guidance_scale)
         return x
 
     def generate(self, semantic_buffer, coordinate_buffer, prompt: str,
@@ -244,9 +310,13 @@ class WanVideoGenerator:
             tiled = int(np.prod(z.shape[1:4])) > 3 * 16 * 16
         if tiled:
             from infinicube_tpu.models.wan.vae3d import decode_tiled_host
-            # uint8 leaves the device once (host links can be slow)
+            # uint8 leaves the device once (host links can be slow).
+            # 32x32-latent tiles (256x256 px): the DiT tower stays resident
+            # through the decode, so the decode working set gets the
+            # smaller tile (the standalone bench's 64x32 assumes an
+            # otherwise-empty chip)
             return decode_tiled_host(self.vae, params["vae"], z,
-                                     to_uint8=True)[0]
+                                     tile=(32, 32), to_uint8=True)[0]
         video = self.vae.apply(params["vae"], z, method=VideoVAE.decode)
         video = np.asarray(jax.device_get(video[0]))
         return ((video * 0.5 + 0.5).clip(0, 1) * 255).astype(np.uint8)
