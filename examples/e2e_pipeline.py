@@ -118,6 +118,8 @@ def main(outdir="out/e2e"):
         from infinicube_tpu.models.wan.pipeline import (
             WanPipelineConfig, WanVideoGenerator)
         sem_rgb, coord = write_preview_videos(outdir / "buffers", buffers)
+        buffers = None   # free the device buffer stack — the video stage
+        # needs every HBM byte (stage 3 reloads from the written tars)
         gen = WanVideoGenerator(WanPipelineConfig())
         gen.params = gen.init_params(jax.random.PRNGKey(0))
         gen.cast_params_bf16()   # serving residency: DiT 5.7 -> 2.9 GB
