@@ -214,6 +214,9 @@ class WanVideoGenerator:
         else:
             enc = partial(self.vae.apply, params["vae"],
                           method=VideoVAE.encode)
+        # sequential single-video encodes: a batch-2 pass (even at half
+        # tile width) exceeds the HBM margin left by the resident DiT —
+        # measured OOM at 93f@480p on the 16 GB chip
         sem = enc(norm(semantic_rgb))
         coo = enc(norm(coordinate_rgb))
         return jnp.concatenate([jnp.asarray(sem), jnp.asarray(coo)], axis=-1)
