@@ -503,7 +503,11 @@ def decode_tiled_host(vae: "VideoVAE", params, z, tile=(64, 32),
 
     B, T, H, W, C = z.shape
     th, tw = (tile, tile) if isinstance(tile, int) else tile
-    th, tw = min(th, H + overlap), min(tw, W + overlap)
+    # an axis covered by ONE tile uses the exact extent — padding it to
+    # tile+overlap would feed edge-replicated latents into the conv /
+    # attention windows and make the single-tile decode differ from the
+    # full decode for no reason
+    th, tw = min(th, H), min(tw, W)
     scale = vae.cfg.spatial_scale
     t_out = 1 + vae.cfg.temporal_scale * (T - 1)
     ys = list(range(0, max(H - overlap, 1), th - overlap))
@@ -555,7 +559,8 @@ def encode_tiled_host(vae: "VideoVAE", params, video, tile=(512, 256),
     B, T, H, W, _ = video.shape
     scale = vae.cfg.spatial_scale
     th, tw = (tile, tile) if isinstance(tile, int) else tile
-    th, tw = min(th, H + overlap), min(tw, W + overlap)
+    # single-tile axes use the exact extent (see decode_tiled_host)
+    th, tw = min(th, H), min(tw, W)
     assert th % scale == 0 and tw % scale == 0 and overlap % scale == 0
     ys = list(range(0, max(H - overlap, 1), th - overlap))
     xs = list(range(0, max(W - overlap, 1), tw - overlap))

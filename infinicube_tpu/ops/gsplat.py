@@ -253,6 +253,10 @@ def rasterize(proj: Projected, opacities: jnp.ndarray, colors: jnp.ndarray,
     color = untile(out_c)
     alpha = untile(out_a)
     depth = untile(out_d)
+    # exact math guarantees alpha = 1 - prod(1-a_i) <= 1; the log-space
+    # triangular matmul runs at MXU bf16 accumulation and can overshoot by
+    # ~2e-3 at K=256 terms — clamp to keep alpha a valid transmittance
+    alpha = jnp.clip(alpha, 0.0, 1.0)
     # expected depth normalized by alpha (gsplat ED semantics)
     depth = jnp.where(alpha > 1e-6, depth / jnp.maximum(alpha, 1e-6), 0.0)
     return color, alpha, depth
