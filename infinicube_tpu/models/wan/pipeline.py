@@ -14,6 +14,8 @@ weights/wan_convert.py for checkpoint sharding)."""
 from __future__ import annotations
 
 import dataclasses
+import os
+import time
 from functools import partial
 from typing import Any
 
@@ -298,17 +300,38 @@ class WanVideoGenerator:
         assert self.params is not None, "load or init params first"
         cfg = self.cfg
         params = self.params
+
+        # WAN_PHASE_TIMING=1 prints a per-phase wall-clock breakdown
+        # (text / buffer-encode / denoise / decode), each phase fenced by a
+        # tiny device fetch — block_until_ready does not block under
+        # RPC-attached workers. Costs one scalar readback per phase.
+        trace = os.environ.get("WAN_PHASE_TIMING") == "1"
+        phases: list[tuple[str, float]] = []
+
+        def tick(name, out):
+            if trace:
+                x = out[0] if isinstance(out, tuple) else out
+                if isinstance(x, jnp.ndarray):
+                    jax.device_get(jnp.ravel(x)[0])
+                phases.append((name, time.perf_counter()))
+            return out
+
+        if trace:
+            phases.append(("start", time.perf_counter()))
         text = self.encode_text(params, prompt)
-        null = self.encode_text(params, negative_prompt)
+        null = tick("text_encode", self.encode_text(params, negative_prompt))
         L = max(text.shape[1], null.shape[1])
         text = jnp.pad(text, ((0, 0), (0, L - text.shape[1]), (0, 0)))
         null = jnp.pad(null, ((0, 0), (0, L - null.shape[1]), (0, 0)))
-        buf = self.encode_buffers(params, semantic_buffer, coordinate_buffer)
-        z = self._denoise(params["dit"], jax.random.PRNGKey(seed), text,
-                          null, buf,
-                          num_steps or cfg.num_steps,
-                          guidance_scale if guidance_scale is not None
-                          else cfg.guidance_scale)
+        buf = tick("buffer_encode",
+                   self.encode_buffers(params, semantic_buffer,
+                                       coordinate_buffer))
+        z = tick("denoise", self._denoise(
+            params["dit"], jax.random.PRNGKey(seed), text,
+            null, buf,
+            num_steps or cfg.num_steps,
+            guidance_scale if guidance_scale is not None
+            else cfg.guidance_scale))
         if tiled is None:
             tiled = int(np.prod(z.shape[1:4])) > 3 * 16 * 16
         if tiled:
@@ -318,8 +341,16 @@ class WanVideoGenerator:
             # through the decode, so the decode working set gets the
             # smaller tile (the standalone bench's 64x32 assumes an
             # otherwise-empty chip)
-            return decode_tiled_host(self.vae, params["vae"], z,
-                                     tile=(32, 32), to_uint8=True)[0]
-        video = self.vae.apply(params["vae"], z, method=VideoVAE.decode)
-        video = np.asarray(jax.device_get(video[0]))
-        return ((video * 0.5 + 0.5).clip(0, 1) * 255).astype(np.uint8)
+            video = decode_tiled_host(self.vae, params["vae"], z,
+                                      tile=(32, 32), to_uint8=True)[0]
+        else:
+            video = self.vae.apply(params["vae"], z, method=VideoVAE.decode)
+            video = np.asarray(jax.device_get(video[0]))
+            video = ((video * 0.5 + 0.5).clip(0, 1) * 255).astype(np.uint8)
+        if trace:
+            phases.append(("decode", time.perf_counter()))
+            parts = " ".join(f"{n}={t1 - t0:.1f}s" for (_, t0), (n, t1)
+                             in zip(phases, phases[1:]))
+            print(f"[wan-phase] {parts} "
+                  f"total={phases[-1][1] - phases[0][1]:.1f}s")
+        return video
