@@ -144,11 +144,27 @@ class WanVideoGenerator:
     def encode_text(self, params, prompt: str) -> jnp.ndarray:
         """Runs the T5 tower ON THE DEVICE ITS PARAMS LIVE ON (host CPU by
         default — umt5-xxl does not fit a single v5e beside the DiT and
-        encodes one prompt per clip) and ships only the [1, L, 4096]
-        embedding to the accelerator."""
+        encodes one prompt per clip) and ships only the trimmed [1, L, 4096]
+        embedding to the accelerator, zero-padded there to
+        ``cfg.max_text_len`` (= the reference's fixed 512-token context,
+        videogen/inference.py:103-110).
+
+        The tower runs at the REAL token length, not padding="max_length":
+        the encoder masks padded keys (-1e9 logits) and zeroes padded
+        outputs (t5.py:115), so trimming is bit-exact for the kept rows and
+        the zero-padded context the DiT sees is identical — while umt5-xxl's
+        host-CPU compute drops ~L/512-fold (a short caption is ~20 tokens,
+        a >25x serving win per prompt). Embeddings are memoized per prompt
+        string: the negative prompt is constant across clips, so steady
+        serving pays ONE umt5 encode per new caption."""
+        cache = getattr(self, "_text_cache", None)
+        if cache is None or cache["src"] is not params["t5"]:
+            cache = self._text_cache = {"src": params["t5"], "map": {}}
+        if prompt in cache["map"]:
+            return cache["map"][prompt]
         if self.tokenizer is not None:
             ids = self.tokenizer(prompt, return_tensors="np",
-                                 padding="max_length", truncation=True,
+                                 padding="longest", truncation=True,
                                  max_length=self.cfg.max_text_len)
             tok_np = np.asarray(ids["input_ids"], np.int32)
             mask_np = np.asarray(ids["attention_mask"], bool)
@@ -165,6 +181,13 @@ class WanVideoGenerator:
                                 jnp.asarray(mask_np))
         if t5_dev.platform == "cpu" and jax.devices()[0].platform != "cpu":
             out = jax.device_put(np.asarray(out), jax.devices()[0])
+        # fixed-length zero-padded context: Wan parity AND one compiled
+        # denoise shape across prompts (a varying context length would
+        # recompile the whole denoise program per distinct prompt length)
+        pad = self.cfg.max_text_len - out.shape[1]
+        if pad > 0:
+            out = jnp.pad(out, ((0, 0), (0, pad), (0, 0)))
+        cache["map"][prompt] = out
         return out
 
     # ---- buffers ----------------------------------------------------------
@@ -320,9 +343,6 @@ class WanVideoGenerator:
             phases.append(("start", time.perf_counter()))
         text = self.encode_text(params, prompt)
         null = tick("text_encode", self.encode_text(params, negative_prompt))
-        L = max(text.shape[1], null.shape[1])
-        text = jnp.pad(text, ((0, 0), (0, L - text.shape[1]), (0, 0)))
-        null = jnp.pad(null, ((0, 0), (0, L - null.shape[1]), (0, 0)))
         buf = tick("buffer_encode",
                    self.encode_buffers(params, semantic_buffer,
                                        coordinate_buffer))

@@ -129,6 +129,52 @@ def test_t5_encoder_masking():
     np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-5)
 
 
+class _FakeTokenizer:
+    """HF-tokenizer stand-in: whitespace ids, honors padding= semantics."""
+
+    def __init__(self, pad_to=None):
+        self.pad_to = pad_to
+
+    def __call__(self, prompt, return_tensors, padding, truncation,
+                 max_length):
+        ids = [1 + (abs(hash(w)) % 97) for w in prompt.split()][:max_length]
+        ids = ids or [0]
+        L = max_length if padding == "max_length" else len(ids)
+        mask = [1] * len(ids) + [0] * (L - len(ids))
+        ids = ids + [0] * (L - len(ids))
+        return {"input_ids": np.asarray([ids]),
+                "attention_mask": np.asarray([mask])}
+
+
+def test_encode_text_trim_matches_max_length_pad():
+    """Trimming the umt5 run to the real token length + zero-padding the
+    output embedding is bit-exact vs running padded to max_text_len (the
+    encoder masks padded keys and zeroes padded outputs, t5.py:115) — the
+    serving path's >25x host-CPU cut must not change the context."""
+    cfg = WanPipelineConfig(
+        dit=tiny_dit(), vae=tiny_vae(), t5=T5Config.tiny(d_model=32),
+        num_frames=5, height=16, width=16, max_text_len=16)
+    gen = WanVideoGenerator(cfg, tokenizer=_FakeTokenizer())
+    gen.params = gen.init_params(jax.random.PRNGKey(0), tiny_shapes=True)
+    emb = gen.encode_text(gen.params, "a driving scene")
+    assert emb.shape[1] == cfg.max_text_len
+
+    # reference path: tokenize padded to max_text_len, run the tower there
+    tok = _FakeTokenizer()("a driving scene", "np", "max_length", True,
+                           cfg.max_text_len)
+    ref = gen.t5.apply(gen.params["t5"],
+                       jnp.asarray(tok["input_ids"], jnp.int32),
+                       jnp.asarray(tok["attention_mask"], bool))
+    np.testing.assert_allclose(np.asarray(emb), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+    # memoized per prompt (constant negative prompt = one encode/process)...
+    assert gen.encode_text(gen.params, "a driving scene") is emb
+    # ...and invalidated when the tower's params change
+    p2 = {"t5": jax.tree.map(lambda x: x, gen.params["t5"])}
+    assert gen.encode_text(p2, "a driving scene") is not emb
+
+
 def test_pipeline_end_to_end_tiny():
     cfg = WanPipelineConfig(
         dit=tiny_dit(), vae=tiny_vae(), t5=T5Config.tiny(d_model=32),
