@@ -82,6 +82,31 @@ def load_released_state_dict(path: str | Path) -> dict:
     return load_torch_state_dict(str(p))
 
 
+def overlay_finetune(dit_sd: dict | None, ft_sd: dict) -> tuple[dict, int, int]:
+    """Overlay a finetuned buffer-DiT TRAINING checkpoint onto the base DiT
+    state dict — the reference's ``_load_checkpoint`` semantics
+    (/root/reference/infinicube/videogen/inference.py:101-128): keys
+    ``buffer_embedder.<tail>`` carry the trained buffer patchifier (loaded
+    into the module that ``initialize_buffer_embedder`` added — here they
+    become the DiT's ``buffer_embedding.*`` Conv3d weights), and keys
+    ``dit.<tail>`` override base DiT weights (reference loads them
+    ``strict=False``: extra keys are ignored, missing keys keep the base
+    values). Returns (merged_sd, n_buffer_keys, n_dit_keys)."""
+    merged = dict(dit_sd) if dit_sd else {}
+    n_be = n_dit = 0
+    for k, v in ft_sd.items():
+        if k.startswith("buffer_embedder."):
+            # accept both a bare Conv3d ('weight'/'bias') and a nested
+            # module ('proj.weight'): the leaf name is what matters
+            leaf = k.rsplit(".", 1)[-1]
+            merged[f"buffer_embedding.{leaf}"] = v
+            n_be += 1
+        elif k.startswith("dit."):
+            merged[k[len("dit."):]] = v
+            n_dit += 1
+    return merged, n_be, n_dit
+
+
 # ---------------------------------------------------------------------------
 # checkpoint save / load
 # ---------------------------------------------------------------------------
@@ -136,6 +161,11 @@ def main(argv=None):
     ap.add_argument("--umt5", default=None,
                     help="models_t5_umt5-xxl-enc-bf16.pth or HF state dict")
     ap.add_argument("--umt5-layout", default="wan", choices=["wan", "hf"])
+    ap.add_argument("--finetune-ckpt", default=None,
+                    help="finetuned buffer-DiT training checkpoint (.ckpt) "
+                         "overlaying the base DiT: 'buffer_embedder.*' + "
+                         "'dit.*' prefixed keys (the reference's "
+                         "checkpoint_path, videogen/inference.py:101-128)")
     ap.add_argument("--variant", default="1.3b", choices=["1.3b", "14b"])
     ap.add_argument("--no-buffer-embedder", action="store_true",
                     help="skip zero-init buffer embedder injection "
@@ -152,6 +182,14 @@ def main(argv=None):
         dit_cfg = dataclasses.replace(dit_cfg, use_buffer_embedder=False)
 
     dit_sd = load_released_state_dict(args.wan_dit) if args.wan_dit else None
+    if args.finetune_ckpt:
+        if dit_sd is None:
+            ap.error("--finetune-ckpt overlays a base DiT; pass --wan-dit "
+                     "(the reference also loads base + checkpoint together)")
+        ft_sd = load_released_state_dict(args.finetune_ckpt)
+        dit_sd, n_be, n_dit = overlay_finetune(dit_sd, ft_sd)
+        print(f"[convert] finetune overlay: {n_be} buffer-embedder + "
+              f"{n_dit} dit tensors from {args.finetune_ckpt}")
     vae_sd = load_released_state_dict(args.wan_vae) if args.wan_vae else None
     t5_sd = load_released_state_dict(args.umt5) if args.umt5 else None
     for name, sd in (("dit", dit_sd), ("vae", vae_sd), ("t5", t5_sd)):
@@ -168,7 +206,8 @@ def main(argv=None):
         "dit_overrides": {"use_buffer_embedder": dit_cfg.use_buffer_embedder},
         "source_files": {k: str(v) for k, v in
                          (("wan_dit", args.wan_dit), ("wan_vae", args.wan_vae),
-                          ("umt5", args.umt5)) if v},
+                          ("umt5", args.umt5),
+                          ("finetune_ckpt", args.finetune_ckpt)) if v},
     }
     save_pipeline_checkpoint(args.out, params, meta)
     print(f"[convert] checkpoint written to {args.out} "

@@ -70,6 +70,12 @@ class WaymoDatasetConfig:
     cad_points_per_meter3: float = 60.0
     merge_dynamic_points: bool = True
     seed: int = 0
+    # train/val split semantics (waymo_wds.py:95,112-116: 'train' draws
+    # samples_per_shard random start frames per clip and shuffles the clip
+    # order with the seed; any other split is DETERMINISTIC — one sample per
+    # clip at val_starting_frame, clips in list order)
+    split: str = "train"
+    val_starting_frame: int = 50
 
 
 def healthy_boxes(poses: np.ndarray, lwhs: np.ndarray,
@@ -92,11 +98,22 @@ class WaymoClipDataset:
         self.cfg = cfg
         root = Path(cfg.root)
         if cfg.scene_list_file and Path(cfg.scene_list_file).exists():
+            # the reference ships per-split clip-name lists
+            # (assets/waymo_split/*.json, e.g. official_train_static_scene)
+            # and selects shards from them (waymo_wds.py:107-132); pass one
+            # of those files (or any JSON list of clip ids) here
             scenes = json.loads(Path(cfg.scene_list_file).read_text())
         else:
             first = root / cfg.attr_subfolders[0]
             scenes = sorted(p.stem for p in first.glob("*.tar")) \
                 if first.exists() else []
+        if cfg.split == "train":
+            # deterministic seed-keyed shuffle of the clip order
+            # (waymo_wds.py:112-116) BEFORE host sharding, so each host's
+            # subset is drawn from the shuffled list like the per-rank wds
+            # pipeline does
+            shuf = np.random.default_rng(cfg.seed)
+            scenes = [scenes[i] for i in shuf.permutation(len(scenes))]
         self.scenes = [s for i, s in enumerate(scenes)
                        if i % num_hosts == host_index]
         self.rng = np.random.default_rng(cfg.seed + host_index)
@@ -111,10 +128,19 @@ class WaymoClipDataset:
                     p = Path(cfg.root) / attr / f"{scene}.tar"
                     if p.exists():
                         readers[attr] = TarReader(p)
-                for _ in range(cfg.samples_per_shard):
-                    start = int(self.rng.integers(
-                        cfg.frame_start,
-                        max(cfg.frame_start + 1, cfg.frame_end - 1)))
+                # val/test: ONE deterministic sample per clip at
+                # val_starting_frame (waymo_wds.py:95: sample_time_from_shard
+                # = 1 unless train); train: samples_per_shard random starts
+                n_samples = cfg.samples_per_shard if cfg.split == "train" \
+                    else 1
+                for _ in range(n_samples):
+                    if cfg.split == "train":
+                        start = int(self.rng.integers(
+                            cfg.frame_start,
+                            max(cfg.frame_start + 1, cfg.frame_end - 1)))
+                    else:
+                        start = min(cfg.val_starting_frame,
+                                    max(cfg.frame_start, cfg.frame_end - 2))
                     sample = self._build_sample(scene, readers, start)
                     if sample is not None:
                         yield sample
@@ -173,7 +199,7 @@ class WaymoClipDataset:
         lo = np.asarray(cfg.crop_bbox_min, np.float64)
         hi = np.asarray(cfg.crop_bbox_max, np.float64)
         center_offset = (lo + hi) / 2
-        if cfg.crop_augment:
+        if cfg.crop_augment and cfg.split == "train":  # waymo_wds.py:444
             center_offset = center_offset + self.rng.uniform(-1, 1, 3) * \
                 np.asarray(cfg.crop_augment_range)
         grid_to_world = cam_flu.copy()

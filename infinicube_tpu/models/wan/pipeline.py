@@ -146,8 +146,10 @@ class WanVideoGenerator:
         default — umt5-xxl does not fit a single v5e beside the DiT and
         encodes one prompt per clip) and ships only the trimmed [1, L, 4096]
         embedding to the accelerator, zero-padded there to
-        ``cfg.max_text_len`` (= the reference's fixed 512-token context,
-        videogen/inference.py:103-110).
+        ``cfg.max_text_len`` (= the fixed 512-token context of Wan's umt5
+        prompter in the external DiffSynth dependency that
+        /root/reference/infinicube/videogen/inference.py:26-81 wraps; the
+        reference repo itself never tokenizes).
 
         The tower runs at the REAL token length, not padding="max_length":
         the encoder masks padded keys (-1e9 logits) and zeroes padded
@@ -155,12 +157,21 @@ class WanVideoGenerator:
         the zero-padded context the DiT sees is identical — while umt5-xxl's
         host-CPU compute drops ~L/512-fold (a short caption is ~20 tokens,
         a >25x serving win per prompt). Embeddings are memoized per prompt
-        string: the negative prompt is constant across clips, so steady
-        serving pays ONE umt5 encode per new caption."""
+        string in a small LRU (the negative prompt is constant across clips,
+        so steady serving pays ONE umt5 encode per new caption); the cache
+        is bounded because each entry pins a [1, 512, 4096] array (~4 MB
+        bf16) in device HBM, which must not grow with the caption stream.
+
+        Cache-key contract: the cache is invalidated by OBJECT IDENTITY of
+        ``params['t5']`` — params are treated as immutable pytrees (the JAX
+        convention; every update in this repo builds a new tree). Mutating
+        leaf arrays of the same tree in place would serve stale embeddings.
+        """
         cache = getattr(self, "_text_cache", None)
         if cache is None or cache["src"] is not params["t5"]:
             cache = self._text_cache = {"src": params["t5"], "map": {}}
         if prompt in cache["map"]:
+            cache["map"][prompt] = cache["map"].pop(prompt)  # mark recent
             return cache["map"][prompt]
         if self.tokenizer is not None:
             ids = self.tokenizer(prompt, return_tensors="np",
@@ -188,6 +199,8 @@ class WanVideoGenerator:
         if pad > 0:
             out = jnp.pad(out, ((0, 0), (0, pad), (0, 0)))
         cache["map"][prompt] = out
+        while len(cache["map"]) > 4:  # LRU bound: ~4 prompts resident
+            cache["map"].pop(next(iter(cache["map"])))
         return out
 
     # ---- buffers ----------------------------------------------------------

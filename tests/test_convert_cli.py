@@ -176,6 +176,53 @@ def test_checkpoint_drives_pipeline(released_files, tmp_path, monkeypatch):
     assert np.isfinite(np.asarray(z)).all()
 
 
+def test_finetune_ckpt_overlay(released_files, tmp_path, monkeypatch):
+    """The reference's finetuned buffer-DiT checkpoint layout
+    (/root/reference/infinicube/videogen/inference.py:101-128): a torch
+    .ckpt whose 'buffer_embedder.*' keys carry the trained buffer patchifier
+    and whose 'dit.*' keys override base DiT weights (strict=False). The CLI
+    must overlay both onto the base safetensors and ignore unrelated keys."""
+    root, dit = released_files
+    out = tmp_path / "ckpt_ft"
+    torch.manual_seed(7)
+    ft = {
+        # trained (non-zero) buffer embedder: Conv3d [O, I, pt, ph, pw]
+        "buffer_embedder.weight": torch.randn(64, 6, 1, 2, 2),
+        "buffer_embedder.bias": torch.randn(64),
+        # a finetuned DiT head + one block tensor
+        "dit.head.head.weight": torch.randn(16, 64),
+        "dit.head.head.bias": torch.randn(16),
+        # optimizer / trainer junk the reference's strict=False path ignores
+        "optimizer.step": torch.tensor(1000),
+    }
+    torch.save(ft, tmp_path / "buffer_dit_finetune.ckpt")
+    monkeypatch.setattr(WanDiTConfig, "wan_1_3b",
+                        staticmethod(lambda **kw: _tiny_dit_cfg()))
+    convert_cli.main([
+        "--wan-dit", str(root / "Wan2.1-T2V-tiny"),
+        "--finetune-ckpt", str(tmp_path / "buffer_dit_finetune.ckpt"),
+        "--variant", "1.3b", "--out", str(out)])
+
+    params, meta = convert_cli.load_pipeline_checkpoint(out)
+    assert "finetune_ckpt" in meta["source_files"]
+    p = params["dit"]["params"]
+    # buffer embedder is the TRAINED one (patchified layout), not zero-init
+    w = ft["buffer_embedder.weight"].numpy()
+    want = np.transpose(w, (2, 3, 4, 1, 0)).reshape(-1, 64)
+    np.testing.assert_allclose(np.asarray(p["buffer_embed"]["kernel"]),
+                               want, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(p["buffer_embed"]["bias"]),
+                               ft["buffer_embedder.bias"].numpy(), atol=1e-6)
+    # dit.* keys overrode the base head; untouched keys kept base values
+    np.testing.assert_allclose(
+        np.asarray(p["head"]["kernel"]),
+        ft["dit.head.head.weight"].numpy().T, atol=1e-6)
+    base = dit.state_dict()
+    np.testing.assert_allclose(
+        np.asarray(p["patch_embed"]["bias"]),
+        base["patch_embedding.bias"].detach().numpy(), atol=1e-6)
+
+
 def test_partial_checkpoint_fills_missing_towers(released_files, tmp_path,
                                                  monkeypatch):
     root, _ = released_files

@@ -115,6 +115,39 @@ def test_waymo_dataset_iteration(tmp_path):
     assert len(ds0.scenes) + len(ds1.scenes) == 1
 
 
+def test_waymo_split_list_and_val_semantics(tmp_path):
+    """Train/val split parity with the reference's assets/waymo_split/*.json
+    workflow (waymo_wds.py:95,107-116,444): a JSON clip-name list restricts
+    the dataset; split='train' shuffles clip order with the seed and draws
+    samples_per_shard random starts; split='val' is deterministic — one
+    sample per clip at val_starting_frame, list order preserved."""
+    import json as _json
+    for scene in ("clipA", "clipB", "clipC"):
+        make_clip(tmp_path, scene=scene, frames=4)
+    split = tmp_path / "official_val_static_scene.json"
+    split.write_text(_json.dumps(["clipC", "clipA"]))
+
+    base = dict(root=str(tmp_path), scene_list_file=str(split),
+                frame_start=0, frame_end=4, samples_per_shard=3)
+    val = WaymoClipDataset(WaymoDatasetConfig(
+        **base, split="val", val_starting_frame=1))
+    # list order preserved, non-listed clipB excluded
+    assert val.scenes == ["clipC", "clipA"]
+    vs = list(val)
+    assert len(vs) == 2  # ONE deterministic sample per clip
+    vs2 = list(WaymoClipDataset(WaymoDatasetConfig(
+        **base, split="val", val_starting_frame=1)))
+    np.testing.assert_array_equal(vs[0][DatasetSpec.INPUT_PC],
+                                  vs2[0][DatasetSpec.INPUT_PC])
+
+    tr = WaymoClipDataset(WaymoDatasetConfig(**base, split="train", seed=3))
+    assert sorted(tr.scenes) == ["clipA", "clipC"]  # shuffled, same set
+    assert len(list(tr)) == 6  # samples_per_shard per clip
+    # the seed keys the clip-order shuffle deterministically
+    tr2 = WaymoClipDataset(WaymoDatasetConfig(**base, split="train", seed=3))
+    assert tr.scenes == tr2.scenes
+
+
 def test_gaussian_io_roundtrip(tmp_path):
     rng = np.random.default_rng(0)
     n = 20

