@@ -1,0 +1,86 @@
+"""Flash-attention kernel roofline probe at the Wan bench shape.
+
+Round-4 agenda (VERDICT r3 weak #1 / next #3): the int8-QK fixed-max kernel
+runs 197.7 TF/s-effective vs a ~260 TF/s arithmetic floor (int8 QK^T at the
+394 TOPS MXU + bf16 PV at 197 TF/s are BOTH MXU ops and cannot overlap each
+other; the ~40 ms of VPU softmax can in principle hide behind them). This
+bench measures the full kernel against its ablations to locate the gap:
+
+- full            : the serving kernel (quant="qk", fixed_max)
+- bf16 / bf16-run : bf16 QK^T kernels (fixed-max and running-max)
+- variants        : block-shape sweep, incl. asymmetric q/k blocks
+
+Each timing is host-fetch fenced (block_until_ready does not block under
+the axon tunnel). TF/s are bf16-equivalent: 4*N^2*d per batch*head row,
+using the REAL n_real token count (padded work is overhead, not credit).
+
+Usage: python benchmarks/bench_flash_attention.py [quick]
+"""
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from infinicube_tpu.ops.flash_attention import flash_attention
+
+B, H, N, D = 2, 12, 37440, 128   # CFG pair, Wan 1.3B heads, 93f@480p tokens
+BH = B * H
+REPS = 3
+
+rng = np.random.default_rng(0)
+
+
+def make_qkv(n_pad):
+    # RMSNormed-like rows (uniform norms), zero pad rows per the contract
+    def mk(seed):
+        x = rng.standard_normal((BH, N, D), np.float32)
+        x /= np.linalg.norm(x, axis=-1, keepdims=True) / np.sqrt(D)
+        x = np.pad(x, ((0, 0), (0, n_pad - N), (0, 0)))
+        return jnp.asarray(x, jnp.bfloat16)
+    return mk(0), mk(1), mk(2)
+
+
+def bench(label, fn, *args):
+    out = fn(*args)
+    jax.device_get(jnp.ravel(out)[0])          # compile + first exec
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        out = fn(*args)
+    jax.device_get(jnp.ravel(out)[0])
+    dt = (time.perf_counter() - t0) / REPS
+    flops = 4.0 * N * N * D * BH
+    print(f"{label:44s} {dt * 1e3:8.1f} ms  {flops / dt / 1e12:6.1f} TF/s",
+          flush=True)
+    return dt
+
+
+def run(block_q, block_k, quant, fixed_max):
+    n_pad = -(-N // max(block_q, block_k)) * max(block_q, block_k)
+    q, k, v = make_qkv(n_pad)
+    import functools
+    f = jax.jit(functools.partial(
+        flash_attention, sm_scale=1.0 / np.sqrt(D), n_real=N,
+        block_q=block_q, block_k=block_k, quant=quant, fixed_max=fixed_max))
+    return bench(f"{quant or 'bf16'} fm={fixed_max} bq={block_q} "
+                 f"bk={block_k}", f, q, k, v)
+
+
+quick = len(sys.argv) > 1 and sys.argv[1] == "quick"
+print(f"shape: BH={BH} N={N} D={D}; bf16-equiv TF/s", flush=True)
+run(1536, 1536, "qk", True)           # the serving kernel
+if not quick:
+    run(1536, 1536, "none", True)     # bf16 fixed-max
+    run(1024, 1024, "qk", True)
+    # asymmetric blocks (VMEM: p tile = bq*bk*4 bytes is the binding term)
+    for bq, bk in ((2048, 1024), (1024, 2048), (2560, 768),
+                   (1280, 1280), (1920, 1280)):
+        try:
+            run(bq, bk, "qk", True)
+        except Exception as e:
+            print(f"qk bq={bq} bk={bk}: FAILED {type(e).__name__}",
+                  flush=True)

@@ -23,6 +23,13 @@ from infinicube_tpu.models.wan.pipeline import (
 frames = int(os.environ.get("BENCH_FRAMES", "93"))
 steps = int(os.environ.get("BENCH_STEPS", "50"))
 cfg = WanPipelineConfig(num_frames=frames, num_steps=steps)
+if os.environ.get("BENCH_TINY_T5") == "1":
+    # iteration mode: a 2-layer host T5 (same d_model -> same embedding
+    # shape) makes init ~10 min faster; the text-encode phase number is
+    # only meaningful on the full umt5-xxl run
+    import dataclasses
+    cfg = dataclasses.replace(cfg, t5=dataclasses.replace(
+        cfg.t5, num_layers=2))
 gen = WanVideoGenerator(cfg)
 print("[bench] init params...", flush=True)
 gen.params = gen.init_params(jax.random.PRNGKey(0))

@@ -11,7 +11,9 @@ E2E_STEADY=1 runs every timed stage a SECOND time in-process after the
 first pass and reports both timings — the second pass is the steady-state
 (serving) number with all XLA compiles amortized, the deployment-relevant
 figure (a server keeps the process alive; compiles happen once per
-binary+shape). E2E_VIDEO=0 skips the Wan stage."""
+binary+shape). E2E_VIDEO=0 skips the Wan stage. E2E_DDIM sets the stage-1
+DDIM step count (default 10 = the fast profile; 100 = the reference's
+release default, /root/reference/README.md:43)."""
 
 import sys
 import time
@@ -74,7 +76,8 @@ def main(outdir="out/e2e"):
         return (ijk * 4).astype(np.int64), sem
 
     gen = VoxelWorldGenerator(diffusion, params, decode_fn,
-                              WorldGenConfig(ddim_steps=10),
+                              WorldGenConfig(ddim_steps=int(
+                                  os.environ.get("E2E_DDIM", "10"))),
                               finest_voxel_size=0.2)
     T_ego = np.tile(np.eye(4), (30, 1, 1))
     T_ego[:, 0, 3] = np.linspace(0, 45, 30)

@@ -63,8 +63,14 @@ class VoxelWorldGenerator:
         dc: DiffusionConfig = diffusion.cfg
         self.chunk_extent = (np.asarray(dc.cube_dims) *
                              np.asarray(dc.latent_voxel_size))
-        # world latent bookkeeping for blocks mode
-        self._latent_table: dict[tuple, np.ndarray] = {}
+        # world latent bookkeeping for blocks mode: the reference's
+        # latent_ijk_hash_table (voxel_world_generation.py:665-785) as a
+        # SORTED packed-int64-key array + row-aligned value matrix — all
+        # lookups/inserts are vectorized numpy (a per-cell Python dict costs
+        # ~1 s per 262k-cell release block on one host core)
+        self._table_keys = np.empty((0,), np.int64)
+        self._table_vals = np.empty((0, diffusion.cfg.latent_channels),
+                                    np.float32)
 
     # ------------------------------------------------------------ condition
     def _cond_for_chunk(self, world_to_chunk: np.ndarray,
@@ -205,29 +211,56 @@ class VoxelWorldGenerator:
             chunk_to_world[:3, 3]
         return np.round((world - lorg) / lvs).astype(np.int64)
 
+    @staticmethod
+    def _pack_keys(wijk: np.ndarray) -> np.ndarray:
+        """World latent ijk -> packed int64 (21 bits/axis, offset-biased:
+        ±2^20 latent cells ≈ ±800 km at the 0.8 m release latent pitch)."""
+        b = wijk.astype(np.int64) + (1 << 20)
+        assert ((b >= 0) & (b < (1 << 21))).all(), "latent ijk out of range"
+        return (b[:, 0] << 42) | (b[:, 1] << 21) | b[:, 2]
+
     def _sdedit_from_table(self, chunk_to_world: np.ndarray):
         dc = self.diffusion.cfg
         D, H, W = dc.cube_dims
-        wijk = self._latent_world_ijk(chunk_to_world)
+        if len(self._table_keys) == 0:
+            return None
+        keys = self._pack_keys(self._latent_world_ijk(chunk_to_world))
         lat = np.zeros((D * H * W, dc.latent_channels), np.float32)
-        mask = np.zeros((D * H * W,), bool)
-        for n, key in enumerate(map(tuple, wijk)):
-            v = self._latent_table.get(key)
-            if v is not None:
-                lat[n] = v
-                mask[n] = True
+        pos = np.searchsorted(self._table_keys, keys)
+        pos_c = np.minimum(pos, len(self._table_keys) - 1)
+        mask = (self._table_keys[pos_c] == keys) & \
+            (pos < len(self._table_keys))
         if not mask.any():
             return None
+        lat[mask] = self._table_vals[pos_c[mask]]
         return SDEditState(
             warped_latents=jnp.asarray(lat.reshape(1, D, H, W, -1)),
             overlap_mask=jnp.asarray(mask.reshape(1, D, H, W)))
 
     def _update_table(self, latents: np.ndarray, chunk_to_world: np.ndarray):
-        wijk = self._latent_world_ijk(chunk_to_world)
-        flat = latents.reshape(-1, latents.shape[-1])
-        for n, key in enumerate(map(tuple, wijk)):
-            if key not in self._latent_table:
-                self._latent_table[key] = flat[n]
+        keys = self._pack_keys(self._latent_world_ijk(chunk_to_world))
+        flat = np.asarray(latents, np.float32).reshape(-1, latents.shape[-1])
+        if len(self._table_keys) == 0:
+            fresh = np.ones(len(keys), bool)
+        else:
+            pos = np.searchsorted(self._table_keys, keys)
+            pos_c = np.minimum(pos, len(self._table_keys) - 1)
+            fresh = ~((self._table_keys[pos_c] == keys) &
+                      (pos < len(self._table_keys)))
+        # existing entries win (reference table semantics: the first block
+        # to generate a world cell owns its latent)
+        all_k = np.concatenate([self._table_keys, keys[fresh]])
+        all_v = np.concatenate([self._table_vals, flat[fresh]])
+        order = np.argsort(all_k, kind="stable")
+        self._table_keys = all_k[order]
+        self._table_vals = all_v[order]
+
+    @property
+    def _latent_table(self) -> dict:
+        """Dict view of the packed table (tests/back-compat; small worlds)."""
+        return {tuple(((int(k) >> s) & ((1 << 21) - 1)) - (1 << 20)
+                      for s in (42, 21, 0)): v
+                for k, v in zip(self._table_keys, self._table_vals)}
 
     def generate_blocks(self, bbox_min, bbox_max,
                         map_points: dict[str, np.ndarray] | None = None,

@@ -254,3 +254,72 @@ def test_world_merge_capacity_overflow_surfaced():
     # (x+500, y, z)); the world grid must hold exactly the union
     expected = len(np.unique(np.concatenate([a, b]), axis=0))
     assert world.num_voxels == expected
+
+def test_blocks_mode_map_scale():
+    """Blocks mode at map scale (VERDICT r3 next #7): a 3x3-block release
+    run (750M 64^3 UNet, 51.2 m chunks, 0.25 overlap -> ~128x128 m world)
+    through the PACKED latent-ijk hash table + int64 world accumulation.
+    Asserts the table dedupes overlap regions to exactly the unique world
+    latent cells, later blocks actually receive SDEdit overlap, the world
+    ijk stays inside the packed-key domain, and everything is finite.
+    Mirrors /root/reference/infinicube/inference/voxel_world_generation.py:
+    665-785 (latent_ijk_hash_table) + 857-925 (blocks mode). DDIM-4 keeps
+    the smoke ~1 min steady; fidelity is the DDIM bench's job."""
+    import time
+    from infinicube_tpu.models.diffusion.model import (
+        DiffusionConfig, VoxelDiffusion)
+    from infinicube_tpu.inference.voxel_world_generation import (
+        VoxelWorldGenerator, WorldGenConfig)
+
+    dcfg = DiffusionConfig()               # the release 750M config
+    diffusion = VoxelDiffusion(dcfg)
+    params = jax.jit(diffusion.init)(jax.random.PRNGKey(0))
+
+    def decode_fn(latents):
+        # threshold decode (VAE-free): ch0 > 1 sigma -> voxel at 4x subdiv
+        lat = np.asarray(jax.device_get(latents))[0]
+        occ = lat[..., 0] > 1.0
+        ii, jj, kk = np.meshgrid(*[np.arange(s) for s in lat.shape[:3]],
+                                 indexing="ij")
+        ijk = np.stack([ii, jj, kk], -1)[occ] + np.asarray(dcfg.cube_ijk_min)
+        sem = np.where(lat[..., 1][occ] > 0, 18, 14).astype(np.int32)
+        return (ijk * 4).astype(np.int64), sem
+
+    gen = VoxelWorldGenerator(diffusion, params, decode_fn,
+                              WorldGenConfig(ddim_steps=4,
+                                             guidance_scale=2.0),
+                              finest_voxel_size=0.2)
+    maps = {"road_edge": np.stack([np.linspace(0, 120, 300),
+                                   np.full(300, -4.0), np.zeros(300)], -1)}
+    sdedit_blocks = []
+    orig = gen._sdedit_from_table
+
+    def spy(c2w):
+        s = orig(c2w)
+        sdedit_blocks.append(s is not None)
+        return s
+
+    gen._sdedit_from_table = spy
+    t0 = time.perf_counter()
+    world = gen.generate_blocks([0.0, 0.0], [90.0, 90.0], map_points=maps,
+                                seed=0)
+    dt = time.perf_counter() - t0
+    n_blocks = len(gen._block_centers([0.0, 0.0], [90.0, 90.0]))
+    assert n_blocks >= 9, n_blocks                      # >= 3x3 map tiling
+    assert len(sdedit_blocks) == n_blocks
+    assert not sdedit_blocks[0] and all(sdedit_blocks[1:]), \
+        "every later block overlaps earlier generation (0.25 overlap)"
+    # the packed table holds exactly the UNIQUE world latent cells
+    cells = np.concatenate([gen._latent_world_ijk(
+        np.concatenate([np.eye(4)[:3, :3], c[:, None]], 1))
+        for c in gen._block_centers([0.0, 0.0], [90.0, 90.0])[:, :3]])
+    uniq = len(np.unique(gen._pack_keys(cells)))
+    assert len(gen._table_keys) == uniq, (len(gen._table_keys), uniq)
+    assert len(gen._table_keys) < n_blocks * int(np.prod(dcfg.cube_dims))
+    assert np.isfinite(gen._table_vals).all()
+    # int64 world accumulation: non-empty, in pack64 domain, exact union
+    assert world.num_voxels > 0
+    from infinicube_tpu.utils.world_grid import pack64, unpack64
+    np.testing.assert_array_equal(unpack64(pack64(world.ijk())), world.ijk())
+    print(f"[blocks-smoke] {n_blocks} blocks, {world.num_voxels} voxels, "
+          f"{len(gen._table_keys)} table cells, {dt:.1f}s")
