@@ -38,6 +38,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from infinicube_tpu.ops.dense_conv import Conv3x3x3
+
 # Published Wan2.1 per-channel latent statistics (wan/modules/vae.py): the
 # DiT consumes z_hat = (z - mean) / std.
 WAN_LATENT_MEAN = (
@@ -56,6 +58,16 @@ class VideoVAEConfig:
     num_res_blocks: int = 2
     temporal_down: Sequence[bool] = (False, True, True)  # temperal_downsample
     dtype: Any = jnp.bfloat16
+    # (3,3,3) stride-1 conv backend for the ResidualBlock convs. Default
+    # "xla": measured 52-63 TF/s at the release tile shapes (decode tile
+    # 64x32 = 1.74 s, encode tile 512x256 = 1.01 s — docs/PERF.md round 4),
+    # and the tiled paths are NOT conv-bound after the tile-program
+    # memoization fix (the old 62 s/encode was per-call recompiles). The
+    # Pallas implicit-GEMM option ("auto"/"pallas", ops/dense_conv.py,
+    # equivalence-gated in tests/test_wan.py) is kept for conv-bound
+    # configs, but its three dy-shifted input views triple input HBM and
+    # OOM the big pixel-resolution stages beside a resident DiT.
+    conv_impl: str = "xla"
     latent_mean: Sequence[float] | None = None
     latent_std: Sequence[float] | None = None
 
@@ -93,7 +105,7 @@ class RMSNormCh(nn.Module):
 
 
 def causal_conv3d(x, features, name, kernel=(3, 3, 3), strides=(1, 1, 1),
-                  dtype=jnp.bfloat16, tctx=None):
+                  dtype=jnp.bfloat16, tctx=None, impl="xla"):
     """Temporal pad 2*pt on the left (zeros), SAME in space — must be called
     inside a parent @nn.compact so the conv params live directly under
     ``name`` (clean torch-key conversion).
@@ -101,7 +113,14 @@ def causal_conv3d(x, features, name, kernel=(3, 3, 3), strides=(1, 1, 1),
     ``tctx``: streaming feature cache — the previous chunk's last 2*(kt//2)
     frames at this layer, prepended INSTEAD of the zero pad (the Wan2.1
     feat_cache decode semantics: mid-stream chunks see real history, only
-    the clip start sees zeros)."""
+    the clip start sees zeros).
+
+    ``impl``: "xla" (nn.Conv, the oracle), or "auto"/"pallas" — route
+    eligible (3,3,3) stride-1 convs through the Pallas implicit-GEMM
+    kernel (ops/dense_conv.py, identical param tree). The causal conv is
+    expressed through the kernel's all-SAME conv: the input already carries
+    its 2-frame left history, so SAME_out[t+1] == causal_out[t] exactly
+    (SAME's temporal zero halo only feeds the two sliced-off frames)."""
     kt, kh, kw = kernel
     if kt > 1:
         if tctx is None:
@@ -109,6 +128,11 @@ def causal_conv3d(x, features, name, kernel=(3, 3, 3), strides=(1, 1, 1),
                             (0, 0)))
         else:
             x = jnp.concatenate([tctx.astype(x.dtype), x], axis=1)
+    if (impl != "xla" and tuple(kernel) == (3, 3, 3)
+            and tuple(strides) == (1, 1, 1)
+            and x.shape[-1] >= 64 and features >= 64):
+        y = Conv3x3x3(features, dtype=dtype, impl=impl, name=name)(x)
+        return y[:, 1:-1]
     x = jnp.pad(x, ((0, 0), (0, 0), (kh // 2, kh // 2),
                     (kw // 2, kw // 2), (0, 0)))
     return nn.Conv(features, kernel, strides=strides, padding="VALID",
@@ -116,7 +140,7 @@ def causal_conv3d(x, features, name, kernel=(3, 3, 3), strides=(1, 1, 1),
 
 
 def _cc3d_stream(x, features, name, cache, key, kernel=(3, 3, 3),
-                 dtype=jnp.bfloat16):
+                 dtype=jnp.bfloat16, impl="xla"):
     """causal_conv3d + cache bookkeeping: reads cache[key] (None on the
     first chunk), writes the next chunk's context (this chunk's last 2
     input frames INCLUDING inherited context, so chunks of 1 work)."""
@@ -132,13 +156,14 @@ def _cc3d_stream(x, features, name, cache, key, kernel=(3, 3, 3),
         src = jnp.concatenate([ctx.astype(x.dtype), x], axis=1)
     new_ctx = src[:, -nctx:] if nctx else None
     out = causal_conv3d(x, features, name, kernel=kernel, dtype=dtype,
-                        tctx=ctx)
+                        tctx=ctx, impl=impl)
     return out, new_ctx
 
 
 class ResidualBlock(nn.Module):
     features: int
     dtype: Any = jnp.bfloat16
+    impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, cache=None, streaming=False):
@@ -149,17 +174,17 @@ class ResidualBlock(nn.Module):
             new = {}
             h, new["residual_2"] = _cc3d_stream(
                 h, self.features, "residual_2", cache, "residual_2",
-                dtype=self.dtype)
+                dtype=self.dtype, impl=self.impl)
             h = nn.silu(RMSNormCh(name="residual_3")(h))
             h, new["residual_6"] = _cc3d_stream(
                 h, self.features, "residual_6", cache, "residual_6",
-                dtype=self.dtype)
+                dtype=self.dtype, impl=self.impl)
         else:
             h = causal_conv3d(h, self.features, "residual_2",
-                              dtype=self.dtype)
+                              dtype=self.dtype, impl=self.impl)
             h = nn.silu(RMSNormCh(name="residual_3")(h))
             h = causal_conv3d(h, self.features, "residual_6",
-                              dtype=self.dtype)
+                              dtype=self.dtype, impl=self.impl)
         if x.shape[-1] != self.features:
             x = causal_conv3d(x, self.features, "shortcut",
                               kernel=(1, 1, 1), dtype=self.dtype)
@@ -313,14 +338,17 @@ class VideoEncoder(nn.Module):
         for idx, kind, feat in encoder_schedule(cfg):
             name = f"downsamples_{idx}"
             if kind == "res":
-                x = ResidualBlock(feat, dtype=cfg.dtype, name=name)(x)
+                x = ResidualBlock(feat, dtype=cfg.dtype, name=name,
+                                  impl=cfg.conv_impl)(x)
             elif kind == "down2d":
                 x = Downsample2D(dtype=cfg.dtype, name=name)(x)
             else:
                 x = Downsample3D(dtype=cfg.dtype, name=name)(x)
-        x = ResidualBlock(x.shape[-1], dtype=cfg.dtype, name="middle_0")(x)
+        x = ResidualBlock(x.shape[-1], dtype=cfg.dtype, name="middle_0",
+                          impl=cfg.conv_impl)(x)
         x = AttentionBlock(dtype=cfg.dtype, name="middle_1")(x)
-        x = ResidualBlock(x.shape[-1], dtype=cfg.dtype, name="middle_2")(x)
+        x = ResidualBlock(x.shape[-1], dtype=cfg.dtype, name="middle_2",
+                          impl=cfg.conv_impl)(x)
         x = nn.silu(RMSNormCh(name="head_0")(x))
         return causal_conv3d(x.astype(jnp.float32),
                              2 * cfg.latent_channels, "head_2",
@@ -349,17 +377,20 @@ class VideoDecoder(nn.Module):
                                            "conv1", cache, "conv1",
                                            dtype=cfg.dtype)
             x, new["middle_0"] = ResidualBlock(
-                dims0, dtype=cfg.dtype, name="middle_0")(
+                dims0, dtype=cfg.dtype, name="middle_0",
+                impl=cfg.conv_impl)(
                     x, sub(cache, "middle_0"), streaming=True)
             x = AttentionBlock(dtype=cfg.dtype, name="middle_1")(x)
             x, new["middle_2"] = ResidualBlock(
-                dims0, dtype=cfg.dtype, name="middle_2")(
+                dims0, dtype=cfg.dtype, name="middle_2",
+                impl=cfg.conv_impl)(
                     x, sub(cache, "middle_2"), streaming=True)
             for idx, kind, feat in decoder_schedule(cfg):
                 name = f"upsamples_{idx}"
                 if kind == "res":
                     x, new[name] = ResidualBlock(
-                        feat, dtype=cfg.dtype, name=name)(
+                        feat, dtype=cfg.dtype, name=name,
+                        impl=cfg.conv_impl)(
                             x, sub(cache, name), streaming=True)
                 elif kind == "up2d":
                     x = Upsample2D(dtype=cfg.dtype, name=name)(x)
@@ -373,13 +404,16 @@ class VideoDecoder(nn.Module):
             return jnp.clip(x, -1.0, 1.0), new
         x = causal_conv3d(z.astype(cfg.dtype), dims0, "conv1",
                           dtype=cfg.dtype)
-        x = ResidualBlock(dims0, dtype=cfg.dtype, name="middle_0")(x)
+        x = ResidualBlock(dims0, dtype=cfg.dtype, name="middle_0",
+                          impl=cfg.conv_impl)(x)
         x = AttentionBlock(dtype=cfg.dtype, name="middle_1")(x)
-        x = ResidualBlock(dims0, dtype=cfg.dtype, name="middle_2")(x)
+        x = ResidualBlock(dims0, dtype=cfg.dtype, name="middle_2",
+                          impl=cfg.conv_impl)(x)
         for idx, kind, feat in decoder_schedule(cfg):
             name = f"upsamples_{idx}"
             if kind == "res":
-                x = ResidualBlock(feat, dtype=cfg.dtype, name=name)(x)
+                x = ResidualBlock(feat, dtype=cfg.dtype, name=name,
+                                  impl=cfg.conv_impl)(x)
             elif kind == "up2d":
                 x = Upsample2D(dtype=cfg.dtype, name=name)(x)
             else:
@@ -457,26 +491,40 @@ def decode_streaming_host(vae: "VideoVAE", params, z, chunk: int = 2):
     import numpy as _np
 
     B, T = z.shape[:2]
-    first = partial(jax.jit, static_argnames=())(
-        lambda p, zc: vae.apply(p, zc, method=VideoVAE.decode_step))
-    step = jax.jit(lambda p, zc, c: vae.apply(p, zc, c,
-                                              method=VideoVAE.decode_step))
+    first = _cached(("str_first", vae.cfg), lambda: jax.jit(
+        lambda p, zc: vae.apply(p, zc, method=VideoVAE.decode_step)))
+    step = _cached(("str_step", vae.cfg), lambda: jax.jit(
+        lambda p, zc, c: vae.apply(p, zc, c, method=VideoVAE.decode_step)))
     c0 = min(chunk, T)
     out, cache = first(params, z[:, :c0])
     frames = [_np.asarray(jax.device_get(out))]
     t = c0
     while t < T:
         c = min(chunk, T - t)
-        if c != chunk:  # ragged tail gets its own (cached) program
-            out, cache = jax.jit(
-                lambda p, zc, cc: vae.apply(p, zc, cc,
-                                            method=VideoVAE.decode_step)
-            )(params, z[:, t:t + c], cache)
-        else:
-            out, cache = step(params, z[:, t:t + c], cache)
+        # the ragged tail reuses the same cached jitted step (jit re-
+        # specializes per input shape internally, so one function object
+        # serves every chunk length without per-call retraces)
+        out, cache = step(params, z[:, t:t + c], cache)
         frames.append(_np.asarray(jax.device_get(out)))
         t += c
     return _np.concatenate(frames, axis=1)
+
+
+# jitted tile-program cache: decode/encode_tiled_host build their per-tile
+# jitted update as a local closure; without memoization every CALL creates a
+# fresh function object, misses jax.jit's cache, and pays a full recompile
+# (~30-40 s through the axon remote-compile per call — measured: the
+# in-pipeline tiled decode ran 44 s/call vs 7.5 s with the program reused).
+# Keyed by (kind, cfg, shape tuple); a serving process sees a handful of
+# shapes, so the cache stays tiny.
+_TILE_JIT_CACHE: dict = {}
+
+
+def _cached(key, build):
+    fn = _TILE_JIT_CACHE.get(key)
+    if fn is None:
+        fn = _TILE_JIT_CACHE[key] = build()
+    return fn
 
 
 def _blend_profile(n: int, ramp: int) -> jnp.ndarray:
@@ -518,22 +566,40 @@ def decode_tiled_host(vae: "VideoVAE", params, z, tile=(64, 32),
     zp = jnp.pad(z, ((0, 0), (0, 0), (0, max(pad_h, 0)),
                      (0, max(pad_w, 0)), (0, 0)), mode="edge")
 
-    wy = _blend_profile(th * scale, overlap * scale)
-    wx = _blend_profile(tw * scale, overlap * scale)
-    wgt = (wy[:, None] * wx[None, :])[None, None, :, :, None]
+    def build_upd():
+        wy = _blend_profile(th * scale, overlap * scale)
+        wx = _blend_profile(tw * scale, overlap * scale)
+        wgt = (wy[:, None] * wx[None, :])[None, None, :, :, None]
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def upd(out, acc, p, zt, oy, ox):
-        d = vae.apply(p, zt, method=VideoVAE.decode)
-        cur = jax.lax.dynamic_slice(
-            out, (0, 0, oy, ox, 0), (B, t_out, th * scale, tw * scale, 3))
-        out = jax.lax.dynamic_update_slice(
-            out, cur + (d * wgt).astype(out.dtype), (0, 0, oy, ox, 0))
-        ca = jax.lax.dynamic_slice(
-            acc, (0, 0, oy, ox, 0), (1, 1, th * scale, tw * scale, 1))
-        acc = jax.lax.dynamic_update_slice(
-            acc, ca + wgt.astype(acc.dtype), (0, 0, oy, ox, 0))
-        return out, acc
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def upd(out, acc, p, zt, oy, ox):
+            d = vae.apply(p, zt, method=VideoVAE.decode)
+            cur = jax.lax.dynamic_slice(
+                out, (0, 0, oy, ox, 0),
+                (B, t_out, th * scale, tw * scale, 3))
+            out = jax.lax.dynamic_update_slice(
+                out, cur + (d * wgt).astype(out.dtype), (0, 0, oy, ox, 0))
+            ca = jax.lax.dynamic_slice(
+                acc, (0, 0, oy, ox, 0), (1, 1, th * scale, tw * scale, 1))
+            acc = jax.lax.dynamic_update_slice(
+                acc, ca + wgt.astype(acc.dtype), (0, 0, oy, ox, 0))
+            return out, acc
+        return upd
+
+    def build_fin():
+        @jax.jit
+        def fin(out, acc):
+            final = out[:, :, :H * scale, :W * scale] / \
+                jnp.maximum(acc[:, :, :H * scale, :W * scale], 1e-6)
+            if to_uint8:
+                final = jnp.clip(final * 0.5 + 0.5, 0, 1) * 255
+                final = final.astype(jnp.uint8)
+            return final
+        return fin
+
+    shp = (B, T, H, W, th, tw, overlap, bool(to_uint8))
+    upd = _cached(("dec_upd", vae.cfg, shp), build_upd)
+    fin = _cached(("dec_fin", vae.cfg, shp), build_fin)
 
     out = jnp.zeros((B, t_out, Hp, Wp, 3), jnp.float32)
     acc = jnp.zeros((1, 1, Hp, Wp, 1), jnp.float32)
@@ -542,12 +608,7 @@ def decode_tiled_host(vae: "VideoVAE", params, z, tile=(64, 32),
             out, acc = upd(out, acc, params,
                            zp[:, :, i0:i0 + th, j0:j0 + tw],
                            i0 * scale, j0 * scale)
-    final = out[:, :, :H * scale, :W * scale] / \
-        jnp.maximum(acc[:, :, :H * scale, :W * scale], 1e-6)
-    if to_uint8:
-        final = jnp.clip(final * 0.5 + 0.5, 0, 1) * 255
-        return _np.asarray(jax.device_get(final.astype(jnp.uint8)))
-    return _np.asarray(jax.device_get(final))
+    return _np.asarray(jax.device_get(fin(out, acc)))
 
 
 def encode_tiled_host(vae: "VideoVAE", params, video, tile=(512, 256),
@@ -573,22 +634,35 @@ def encode_tiled_host(vae: "VideoVAE", params, video, tile=(512, 256),
     t_lat = 1 + (T - 1) // vae.cfg.temporal_scale
     zc = vae.cfg.latent_channels
 
-    wy = _blend_profile(th // ls, overlap // ls)
-    wx = _blend_profile(tw // ls, overlap // ls)
-    wgt = (wy[:, None] * wx[None, :])[None, None, :, :, None]
+    def build_upd():
+        wy = _blend_profile(th // ls, overlap // ls)
+        wx = _blend_profile(tw // ls, overlap // ls)
+        wgt = (wy[:, None] * wx[None, :])[None, None, :, :, None]
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def upd(out, acc, p, vt, oy, ox):
-        zt = vae.apply(p, vt, method=VideoVAE.encode)
-        cur = jax.lax.dynamic_slice(
-            out, (0, 0, oy, ox, 0), (B, t_lat, th // ls, tw // ls, zc))
-        out = jax.lax.dynamic_update_slice(
-            out, cur + (zt * wgt).astype(out.dtype), (0, 0, oy, ox, 0))
-        ca = jax.lax.dynamic_slice(
-            acc, (0, 0, oy, ox, 0), (1, 1, th // ls, tw // ls, 1))
-        acc = jax.lax.dynamic_update_slice(
-            acc, ca + wgt.astype(acc.dtype), (0, 0, oy, ox, 0))
-        return out, acc
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def upd(out, acc, p, vt, oy, ox):
+            zt = vae.apply(p, vt, method=VideoVAE.encode)
+            cur = jax.lax.dynamic_slice(
+                out, (0, 0, oy, ox, 0), (B, t_lat, th // ls, tw // ls, zc))
+            out = jax.lax.dynamic_update_slice(
+                out, cur + (zt * wgt).astype(out.dtype), (0, 0, oy, ox, 0))
+            ca = jax.lax.dynamic_slice(
+                acc, (0, 0, oy, ox, 0), (1, 1, th // ls, tw // ls, 1))
+            acc = jax.lax.dynamic_update_slice(
+                acc, ca + wgt.astype(acc.dtype), (0, 0, oy, ox, 0))
+            return out, acc
+        return upd
+
+    def build_fin():
+        @jax.jit
+        def fin(out, acc):
+            return out[:, :, :H // ls, :W // ls] / \
+                jnp.maximum(acc[:, :, :H // ls, :W // ls], 1e-6)
+        return fin
+
+    shp = (B, T, H, W, th, tw, overlap)
+    upd = _cached(("enc_upd", vae.cfg, shp), build_upd)
+    fin = _cached(("enc_fin", vae.cfg, shp), build_fin)
 
     out = jnp.zeros((B, t_lat, Hp, Wp, zc), jnp.float32)
     acc = jnp.zeros((1, 1, Hp, Wp, 1), jnp.float32)
@@ -597,5 +671,4 @@ def encode_tiled_host(vae: "VideoVAE", params, video, tile=(512, 256),
             out, acc = upd(out, acc, params,
                            vp[:, :, i0:i0 + th, j0:j0 + tw],
                            i0 // ls, j0 // ls)
-    return out[:, :, :H // ls, :W // ls] / \
-        jnp.maximum(acc[:, :, :H // ls, :W // ls], 1e-6)
+    return fin(out, acc)

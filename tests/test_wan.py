@@ -257,3 +257,38 @@ def test_tiled_encode_decode_match_full():
     b = np.asarray(dec_full).ravel()
     corr = np.corrcoef(a, b)[0, 1]
     assert corr > 0.8, corr
+
+
+def test_causal_conv_pallas_route_matches_xla():
+    """The Pallas-routed causal conv (vae3d.causal_conv3d impl="pallas",
+    interpret mode on CPU) equals the nn.Conv oracle exactly — both the
+    zero-history clip start and the streaming tctx case. The routing
+    expresses the causal conv through the all-SAME implicit-GEMM kernel
+    (SAME_out[t+1] == causal_out[t]); this gates that shift/slice algebra."""
+    import flax.linen as nn
+    from infinicube_tpu.models.wan.vae3d import causal_conv3d
+
+    class M(nn.Module):
+        impl: str
+
+        @nn.compact
+        def __call__(self, x, tctx=None):
+            return causal_conv3d(x, 64, "c", impl=self.impl, tctx=tctx,
+                                 dtype=jnp.float32)
+
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (1, 3, 8, 16, 64), jnp.float32)
+    tctx = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 8, 16, 64))
+    params = M("xla").init(rng, x)
+    # identical param tree -> the same params drive both backends
+    y_ref = M("xla").apply(params, x)
+    y_pal = M("pallas").apply(params, x)
+    assert y_pal.shape == y_ref.shape == (1, 3, 8, 16, 64)
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref),
+                               atol=2e-5, rtol=2e-5)
+    y_ref2 = M("xla").apply(params, x, tctx)
+    y_pal2 = M("pallas").apply(params, x, tctx)
+    np.testing.assert_allclose(np.asarray(y_pal2), np.asarray(y_ref2),
+                               atol=2e-5, rtol=2e-5)
+    # history actually matters (the tctx case is not the zero-pad case)
+    assert np.abs(np.asarray(y_ref2 - y_ref)).max() > 1e-3
