@@ -22,7 +22,12 @@ from infinicube_tpu.models.wan.pipeline import (
 
 frames = int(os.environ.get("BENCH_FRAMES", "93"))
 steps = int(os.environ.get("BENCH_STEPS", "50"))
-cfg = WanPipelineConfig(num_frames=frames, num_steps=steps)
+# int8 serving profile by default (the path bench.py measures);
+# BENCH_PRECISION=bf16 for the full-precision towers
+if os.environ.get("BENCH_PRECISION", "int8") == "int8":
+    cfg = WanPipelineConfig.serving(num_frames=frames, num_steps=steps)
+else:
+    cfg = WanPipelineConfig(num_frames=frames, num_steps=steps)
 if os.environ.get("BENCH_TINY_T5") == "1":
     # iteration mode: a 2-layer host T5 (same d_model -> same embedding
     # shape) makes init ~10 min faster; the text-encode phase number is

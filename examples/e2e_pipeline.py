@@ -123,7 +123,7 @@ def main(outdir="out/e2e"):
         sem_rgb, coord = write_preview_videos(outdir / "buffers", buffers)
         buffers = None   # free the device buffer stack — the video stage
         # needs every HBM byte (stage 3 reloads from the written tars)
-        gen = WanVideoGenerator(WanPipelineConfig())
+        gen = WanVideoGenerator(WanPipelineConfig.serving())
         gen.params = gen.init_params(jax.random.PRNGKey(0))
         gen.cast_params_bf16()   # serving residency: DiT 5.7 -> 2.9 GB
         frames = timed("stage2.5 video 93f@480p 50-step CFG", lambda:

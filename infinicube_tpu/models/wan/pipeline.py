@@ -46,11 +46,30 @@ class WanPipelineConfig:
     # RPC-attached workers can kill; chunking costs one host dispatch
     # (~0.1 s) per chunk. 0 = unchunked (the whole loop in one program).
     denoise_chunk: int = 10
+    # CFG pair as one batched forward (True) or two sequential forwards
+    # (False). Sequential HALVES the denoise activation peak (the batched
+    # int8 pair OOMs a 16 GB v5e beside the resident VAE + buffers) at
+    # ~equal MXU efficiency — N=37k tokens saturate the kernel grids at
+    # batch 1; only per-matmul weight re-streaming doubles (~2 ms/step).
+    cfg_batch: bool = True
 
     @property
     def latent_thw(self):
         return (1 + (self.num_frames - 1) // 4, self.height // 8,
                 self.width // 8)
+
+    @staticmethod
+    def serving(**kw) -> "WanPipelineConfig":
+        """Single-chip int8 serving profile — the path bench.py measures
+        (int8-QK flash attention + int8 projections/FFN + bf16 residual
+        stream, all cosine>=0.999-gated in tests/test_quant.py). The plain
+        WanPipelineConfig() default keeps the bf16/f32 training-shaped
+        towers; benches and the e2e serve THIS."""
+        base: dict = dict(dit=WanDiTConfig.wan_1_3b(
+            attn_quant="qk", quant_linear=True,
+            residual_dtype=jnp.bfloat16), cfg_batch=False)
+        base.update(kw)
+        return WanPipelineConfig(**base)
 
 
 class WanVideoGenerator:
@@ -289,12 +308,18 @@ class WanVideoGenerator:
         the DiT tower — jitting the full param dict would ship the
         host-resident umt5-xxl (23 GB) and the VAE into device HBM."""
         def model_fn(x, t):
-            xx = jnp.concatenate([x, x])
-            tt = jnp.concatenate([t, t])
-            ctx = jnp.concatenate([text_emb, null_emb])
-            buf = jnp.concatenate([buffer_latents, buffer_latents])
-            out = self.dit.apply(dit_params, xx, tt, ctx, buf)
-            c, u = jnp.split(out, 2, axis=0)
+            if self.cfg.cfg_batch:
+                xx = jnp.concatenate([x, x])
+                tt = jnp.concatenate([t, t])
+                ctx = jnp.concatenate([text_emb, null_emb])
+                buf = jnp.concatenate([buffer_latents, buffer_latents])
+                out = self.dit.apply(dit_params, xx, tt, ctx, buf)
+                c, u = jnp.split(out, 2, axis=0)
+            else:  # sequential CFG: half the activation peak (see config)
+                c = self.dit.apply(dit_params, x, t, text_emb,
+                                   buffer_latents)
+                u = self.dit.apply(dit_params, x, t, null_emb,
+                                   buffer_latents)
             return u + guidance_scale * (c - u)
 
         def step(x, inp):

@@ -292,3 +292,24 @@ def test_causal_conv_pallas_route_matches_xla():
                                atol=2e-5, rtol=2e-5)
     # history actually matters (the tctx case is not the zero-pad case)
     assert np.abs(np.asarray(y_ref2 - y_ref)).max() > 1e-3
+
+
+def test_sequential_cfg_matches_batched():
+    """cfg_batch=False (the serving profile's halved-activation-peak mode,
+    WanPipelineConfig.serving) must produce the same frames as the batched
+    CFG pair — the two formulations are algebraically identical."""
+    import dataclasses
+    base = WanPipelineConfig(
+        dit=tiny_dit(), vae=tiny_vae(), t5=T5Config.tiny(d_model=32),
+        num_frames=5, height=16, width=16, num_steps=2, guidance_scale=2.0)
+    sem = np.random.randint(0, 255, (5, 16, 16, 3), np.uint8)
+    coo = np.random.randint(0, 255, (5, 16, 16, 3), np.uint8)
+    outs = []
+    for batched in (True, False):
+        gen = WanVideoGenerator(dataclasses.replace(base, cfg_batch=batched))
+        gen.params = gen.init_params(jax.random.PRNGKey(0), tiny_shapes=True)
+        outs.append(gen.generate(sem, coo, "a driving scene", num_steps=2))
+    # uint8 output; bf16 batch-vs-sequential reduction-order wiggle can
+    # flip a rounding edge on a few pixels
+    diff = np.abs(outs[0].astype(int) - outs[1].astype(int))
+    assert diff.max() <= 2 and (diff > 0).mean() < 0.05
