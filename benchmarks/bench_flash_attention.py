@@ -36,9 +36,12 @@ rng = np.random.default_rng(0)
 
 
 def make_qkv(n_pad):
-    # RMSNormed-like rows (uniform norms), zero pad rows per the contract
+    # RMSNormed-like rows (uniform norms), zero pad rows per the contract.
+    # Seeded per call: variants must see the SAME data or the cosine
+    # check compares attention outputs of different inputs (~0 cosine).
     def mk(seed):
-        x = rng.standard_normal((BH, N, D), np.float32)
+        r = np.random.default_rng(seed)
+        x = r.standard_normal((BH, N, D), np.float32)
         x /= np.linalg.norm(x, axis=-1, keepdims=True) / np.sqrt(D)
         x = np.pad(x, ((0, 0), (0, n_pad - N), (0, 0)))
         return jnp.asarray(x, jnp.bfloat16)
@@ -59,21 +62,46 @@ def bench(label, fn, *args):
     return dt
 
 
-def run(block_q, block_k, quant, fixed_max):
+def run(block_q, block_k, quant, fixed_max, pdtype="f32", f32_acc=False,
+        ref_out=None):
     n_pad = -(-N // max(block_q, block_k)) * max(block_q, block_k)
     q, k, v = make_qkv(n_pad)
     import functools
     f = jax.jit(functools.partial(
         flash_attention, sm_scale=1.0 / np.sqrt(D), n_real=N,
-        block_q=block_q, block_k=block_k, quant=quant, fixed_max=fixed_max))
-    return bench(f"{quant or 'bf16'} fm={fixed_max} bq={block_q} "
-                 f"bk={block_k}", f, q, k, v)
+        block_q=block_q, block_k=block_k, quant=quant, fixed_max=fixed_max,
+        pdtype=pdtype, f32_acc=f32_acc))
+    tag = f"{quant or 'bf16'} fm={fixed_max} bq={block_q} bk={block_k}"
+    if pdtype != "f32":
+        tag += f" p={pdtype}"
+    if f32_acc:
+        tag += " f32acc"
+    dt = bench(tag, f, q, k, v)
+    if ref_out is not None:
+        a = np.asarray(f(q, k, v)[:, :N], np.float32).ravel()
+        b = np.asarray(ref_out[:, :N], np.float32).ravel()
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-30))
+        print(f"  cosine vs serving kernel: {cos:.6f}", flush=True)
+    return dt, f(q, k, v)
 
 
 quick = len(sys.argv) > 1 and sys.argv[1] == "quick"
+mode = sys.argv[1] if len(sys.argv) > 1 else "full"
 print(f"shape: BH={BH} N={N} D={D}; bf16-equiv TF/s", flush=True)
-run(1536, 1536, "qk", True)           # the serving kernel
-if not quick:
+_, base_out = run(1536, 1536, "qk", True)      # the serving kernel
+if mode == "variants":
+    # round-4 softmax-tail variants (VPU-bound kernel; see the roofline
+    # note in docs/PERF.md): f32 MXU accumulation elides the int32->f32
+    # cast; bf16 exp2+lane-adds win only if the VPU runs bf16 2x
+    for kw in (dict(f32_acc=True), dict(pdtype="bf16"),
+               dict(pdtype="probe-noexp"), dict(pdtype="probe-noadd")):
+        try:
+            run(1536, 1536, "qk", True,
+                ref_out=None if "probe" in str(kw) else base_out, **kw)
+        except Exception as e:
+            print(f"variant {kw}: FAILED {type(e).__name__}: {e}",
+                  flush=True)
+elif not quick:
     run(1536, 1536, "none", True)     # bf16 fixed-max
     run(1024, 1024, "qk", True)
     # asymmetric blocks (VMEM: p tile = bq*bk*4 bytes is the binding term)

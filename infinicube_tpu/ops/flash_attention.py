@@ -35,9 +35,18 @@ attacks the VPU term:
 Measured at the bench shape (N=37,440, hd=128, 24 batch*heads, v5e,
 docs/PERF.md round 3): bf16 fixed-max exp2 kernel 165.8 TF/s; int8-QK
 fixed-max 197.7 TF/s at (1536, 1536) blocks (194.7 at 1024) — up from
-141 TF/s for the round-2 exp/running-max version. The per-logit work is
-exactly cast + fma + exp2 + bf16-cast + lane-add; see _kernel_body for the
-masking-free softmax trick that got it there.
+141 TF/s for the round-2 exp/running-max version.
+
+Round-4 roofline (docs/PERF.md "int8 flash kernel roofline"): the ~200
+TF/s is STRUCTURAL — ablation probes that delete an entire per-logit VPU
+op (exp2 -> identity, or the lane-add) move the kernel < 0.6%, so the
+per-logit register arithmetic is fully hidden; the wall is the VMEM
+traffic of the materialized logit tile (int32 s out of the MXU, bf16 p
+back in, ~12 B/logit) which no softmax-tail variant changes. Measured
+dead ends kept behind flags: ``pdtype="bf16"`` (93.8 vs 90.3 ms — no 2x
+bf16 VPU on v5e; cosine 0.9996), ``f32_acc=True`` (Mosaic rejects int8
+matmul with float accumulation), ``quant="qkv"`` int8 PV (P-requantize),
+and 7 block-shape sweeps (1536^2 best).
 
 Forward-only: this is a serving/inference path (the bench and the CLIs);
 training keeps the stock bf16 flash kernel with its fused backward.
@@ -66,7 +75,10 @@ _LOG2E = 1.4426950408889634
 
 def _lane_partial_sum(p):
     """[bq, bk] -> [bq, 128] partial row-sums (bk/128 shifted lane adds;
-    the real cross-lane reduce happens once per q block at store time)."""
+    the real cross-lane reduce happens once per q block at store time).
+    Runs in p's dtype: for the bf16 softmax tail the bk/128 chunk adds are
+    bf16 (error ~sqrt(bk/128)*2^-8 per tile partial, then EXACT f32
+    accumulation across tiles — net denominator error ~0.1%)."""
     bq, bk = p.shape
     acc = p[:, :128]
     for i in range(1, bk // 128):
@@ -74,8 +86,9 @@ def _lane_partial_sum(p):
     return acc
 
 
-def _kernel_body(n_real, nkb, quant, fixed_max, out_dtype, scale, m0, kj,
-                 q_ref, k_ref, v_ref, sv_ref, o_ref, m_scr, l_scr, acc_scr):
+def _kernel_body(n_real, nkb, quant, fixed_max, out_dtype, pdtype, f32_acc,
+                 scale, m0, kj, q_ref, k_ref, v_ref, sv_ref, o_ref, m_scr,
+                 l_scr, acc_scr):
     @pl.when(kj == 0)
     def _init():
         if not fixed_max:
@@ -85,7 +98,10 @@ def _kernel_body(n_real, nkb, quant, fixed_max, out_dtype, scale, m0, kj,
 
     q = q_ref[0]
     k = k_ref[0]
-    acc_t = jnp.int32 if quant in ("qk", "qkv") else jnp.float32
+    # f32_acc: ask the MXU for f32 accumulation of the int8 dot directly,
+    # eliding the per-logit int32->f32 VPU cast (measured variant)
+    acc_t = (jnp.float32 if f32_acc else jnp.int32) \
+        if quant in ("qk", "qkv") else jnp.float32
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=acc_t)
     bq, bk = s.shape
@@ -104,8 +120,27 @@ def _kernel_body(n_real, nkb, quant, fixed_max, out_dtype, scale, m0, kj,
         # cancellation error is ~eps * n_pad * 2^-max_logit and only
         # matters if a whole row's max logit is << 0, which RMSNormed
         # attention does not produce (gated at cosine >= 0.999 end to end).
-        p = jnp.exp2(s.astype(jnp.float32) * scale - m0)
-        l_scr[...] += _lane_partial_sum(p)
+        x = s.astype(jnp.float32) * scale - m0
+        if pdtype == "bf16":
+            # bf16 softmax tail: exp2 + lane adds in bf16, p feeds the PV
+            # matmul with no further cast. MEASURED SLOWER (93.9 vs 90.5 ms
+            # at the bench shape) — the v5e VPU has no 2x bf16 throughput,
+            # so the extra f32->bf16 cast only adds work. Kept as the
+            # documented dead end behind the roofline note (docs/PERF.md).
+            p = jnp.exp2(x.astype(jnp.bfloat16))
+            l_scr[...] += _lane_partial_sum(p).astype(jnp.float32)
+        elif pdtype == "probe-noexp":
+            # ROOFLINE PROBE ONLY (wrong math): exp2 -> identity, to
+            # measure the exp2 term of the VPU-bound kernel
+            p = x
+            l_scr[...] += _lane_partial_sum(p)
+        elif pdtype == "probe-noadd":
+            # ROOFLINE PROBE ONLY (wrong math): denominator accumulation
+            # skipped, to measure the lane-add term
+            p = jnp.exp2(x)
+        else:
+            p = jnp.exp2(x)
+            l_scr[...] += _lane_partial_sum(p)
     else:
         s = s.astype(jnp.float32) * scale
         if n_real % bk:
@@ -151,7 +186,8 @@ def _kernel_body(n_real, nkb, quant, fixed_max, out_dtype, scale, m0, kj,
                     jnp.maximum(l, 1e-37)).astype(out_dtype)
 
 
-def _make_kernel(n_real, nkb, quant, fixed_max, out_dtype, sm_scale):
+def _make_kernel(n_real, nkb, quant, fixed_max, out_dtype, sm_scale,
+                 pdtype="f32", f32_acc=False):
     """Bind the per-tile logit scale (sm_scale, or sm_scale*sq*sk read from
     scalar prefetch for the int8 path) and the fixed-max bound m0."""
     if quant in ("qk", "qkv"):
@@ -163,8 +199,8 @@ def _make_kernel(n_real, nkb, quant, fixed_max, out_dtype, sm_scale):
                          jnp.float32(sm_scale * _LOG2E))
                 m0 = m0_ref[bh, qi] if fixed_max else None
                 _kernel_body(n_real, nkb, quant, fixed_max, out_dtype,
-                             scale, m0, kj, q_ref, k_ref, v_ref, sv_ref,
-                             o_ref, *scr)
+                             pdtype, f32_acc, scale, m0, kj, q_ref, k_ref,
+                             v_ref, sv_ref, o_ref, *scr)
             return kern
 
         def kern(sq_ref, sk_ref, m0_ref, q_ref, k_ref, v_ref, o_ref, *scr):
@@ -172,16 +208,17 @@ def _make_kernel(n_real, nkb, quant, fixed_max, out_dtype, sm_scale):
             scale = (sq_ref[bh, qi] * sk_ref[bh, kj] *
                      jnp.float32(sm_scale * _LOG2E))
             m0 = m0_ref[bh, qi] if fixed_max else None
-            _kernel_body(n_real, nkb, quant, fixed_max, out_dtype, scale,
-                         m0, kj, q_ref, k_ref, v_ref, None, o_ref, *scr)
+            _kernel_body(n_real, nkb, quant, fixed_max, out_dtype, pdtype,
+                         f32_acc, scale, m0, kj, q_ref, k_ref, v_ref, None,
+                         o_ref, *scr)
         return kern
 
     def kern(m0_ref, q_ref, k_ref, v_ref, o_ref, *scr):
         bh, qi, kj = (pl.program_id(i) for i in range(3))
         m0 = m0_ref[bh, qi] if fixed_max else None
-        _kernel_body(n_real, nkb, "none", fixed_max, out_dtype,
-                     jnp.float32(sm_scale * _LOG2E), m0, kj, q_ref, k_ref,
-                     v_ref, None, o_ref, *scr)
+        _kernel_body(n_real, nkb, "none", fixed_max, out_dtype, pdtype,
+                     f32_acc, jnp.float32(sm_scale * _LOG2E), m0, kj, q_ref,
+                     k_ref, v_ref, None, o_ref, *scr)
     return kern
 
 
@@ -221,11 +258,12 @@ def _fixed_max_bound(q, k, bq, sm_scale, n_real):
 
 @functools.partial(jax.jit, static_argnames=(
     "sm_scale", "n_real", "block_q", "block_k", "quant", "fixed_max",
-    "interpret"))
+    "pdtype", "f32_acc", "interpret"))
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
                     sm_scale: float, n_real: int | None = None,
                     block_q: int = 1024, block_k: int = 1024,
                     quant: str = "none", fixed_max: bool = True,
+                    pdtype: str = "f32", f32_acc: bool = False,
                     interpret: bool = False) -> jnp.ndarray:
     """Non-causal flash attention. q/k/v [BH, N, d] (heads folded into the
     leading dim), N padded by the caller to a block multiple (pad rows
@@ -248,7 +286,8 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
                pltpu.VMEM((bq, d), jnp.float32)]
     m0 = _fixed_max_bound(q, k, bq, sm_scale, n_real) if fixed_max else \
         jnp.zeros((BH, nqb), jnp.float32)
-    kern = _make_kernel(n_real, nkb, quant, fixed_max, out_dtype, sm_scale)
+    kern = _make_kernel(n_real, nkb, quant, fixed_max, out_dtype, sm_scale,
+                        pdtype, f32_acc)
 
     if quant in ("qk", "qkv"):
         q8, sq = _block_quantize(q, bq)
