@@ -66,6 +66,14 @@ import dataclasses as _dc
 cfg0 = gsm_bf16_config()
 cfg0 = _dc.replace(cfg0, voxel=_dc.replace(
     cfg0.voxel, dense_lookup_bounds=((-8, -64, -8), (224, 128, 48))))
+if os.environ.get("GSM_REMAT", "1") == "0":
+    # lever probe: skip per-view render remat in the backward (costs HBM
+    # for the stacked per-view intermediates, saves recomputing the
+    # dominant render forward)
+    cfg0 = _dc.replace(cfg0, render_remat=False)
+if os.environ.get("GSM_STAGES", "1") == "0":
+    # full-train-step-only mode (skip the six prefix compiles)
+    pass
 model = GSM(cfg0)
 params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
 print(f"voxels {int(jax.device_get(grid.total_voxels))}", flush=True)
@@ -163,9 +171,36 @@ def loss_fn(p, rng_, b):
 
 
 ts = {}
-for stage in ("encoder", "lift", "voxel", "pixel", "render", "loss"):
+stages = ("encoder", "lift", "voxel", "pixel", "render", "loss") \
+    if os.environ.get("GSM_STAGES", "1") != "0" else ("loss",)
+for stage in stages:
     ts[stage] = timeit(f"fwd prefix through {stage}", fwd_prefix(stage),
                        params, batch)
+
+if os.environ.get("GSM_GRAD", "0") == "1":
+    # fwd+bwd of each cumulative prefix (prefix output sum-reduced to a
+    # scalar); difference minus the fwd difference isolates each stage's
+    # BACKWARD cost — the term the full-step wall analysis needs
+    def grad_prefix(stage):
+        run = fwd_prefix(stage)   # jitted; grad-through-jit is fine
+
+        def loss_like(p, b):
+            out = jax.tree.leaves(run(p, b))
+            return sum(jnp.sum(o.astype(jnp.float32)) for o in out
+                       if jnp.issubdtype(o.dtype, jnp.floating))
+        return jax.jit(jax.grad(loss_like))
+
+    gs = {}
+    for stage in stages:
+        gs[stage] = timeit(f"fwd+bwd prefix through {stage}",
+                           grad_prefix(stage), params, batch)
+    prev_f = prev_g = 0.0
+    print("\nper-stage fwd / bwd (difference of prefixes):")
+    for stage in stages:
+        fw = (ts[stage] - prev_f) * 1e3
+        bw = (gs[stage] - prev_g) * 1e3 - fw
+        print(f"  {stage:12s} fwd {fw:8.1f} ms   bwd {bw:8.1f} ms")
+        prev_f, prev_g = ts[stage], gs[stage]
 
 tcfg = TrainConfig(use_ema=False)
 state = TrainState.create(tcfg, params)
@@ -182,7 +217,7 @@ print(f"{'FULL train step (fwd+bwd+opt)':42s} {full * 1e3:8.1f} ms",
 
 prev = 0.0
 print("\nper-stage forward (difference of prefixes):")
-for stage in ("encoder", "lift", "voxel", "pixel", "render", "loss"):
+for stage in stages:
     print(f"  {stage:12s} {(ts[stage] - prev) * 1e3:8.1f} ms")
     prev = ts[stage]
 print(f"  backward+opt {(full - ts['loss']) * 1e3:8.1f} ms")
