@@ -92,13 +92,20 @@ class SkyboxMlpModulator(nn.Module):
     def sample(self, token: jnp.ndarray, ray_dirs: jnp.ndarray) -> jnp.ndarray:
         """token [E]; ray_dirs (..., 3) -> sky rgb (..., 3) in [0, 1]."""
         cfg = self.cfg
-        h = nn.Dense(cfg.embed_dim, name="in")(posenc_dir(ray_dirs))
+        # compute in cfg.dtype, norms f32 (matches the branch convention):
+        # at [V, H, W] resolution each f32 [.., embed_dim] activation is a
+        # ~780 MB backward residual (measured in the r4 GSM OOM dump)
+        h = nn.Dense(cfg.embed_dim, dtype=cfg.dtype, name="in")(
+            posenc_dir(ray_dirs))
         for i in range(3):
-            mod = nn.Dense(2 * cfg.embed_dim, name=f"mod{i}")(token)
+            mod = nn.Dense(2 * cfg.embed_dim, dtype=cfg.dtype,
+                           name=f"mod{i}")(token)
             scale, shift = jnp.split(mod, 2, axis=-1)
-            h = nn.silu(nn.LayerNorm(name=f"ln{i}")(h) * (1 + scale) + shift)
-            h = nn.Dense(cfg.embed_dim, name=f"fc{i}")(h)
-        return nn.sigmoid(nn.Dense(3, name="out")(h))
+            h = nn.silu(nn.LayerNorm(dtype=jnp.float32, name=f"ln{i}")(h)
+                        * (1 + scale) + shift).astype(cfg.dtype)
+            h = nn.Dense(cfg.embed_dim, dtype=cfg.dtype, name=f"fc{i}")(h)
+        return nn.sigmoid(nn.Dense(3, dtype=cfg.dtype,
+                                   name="out")(h).astype(jnp.float32))
 
     def __call__(self, images, sky_mask, ray_dirs, sample_dirs):
         token = self.encode(images, sky_mask, ray_dirs)

@@ -240,8 +240,14 @@ def rasterize(proj: Projected, opacities: jnp.ndarray, colors: jnp.ndarray,
         out_d = jnp.einsum("kp,k->p", wgt, dep)
         return out_c, out_a, out_d
 
+    # remat each tile chunk: without it the chunked lax.map saves every
+    # [chunk, K, P] alpha/weight intermediate for the backward — measured
+    # ~20 x 325 MB HLO temps at 480x704/K=256 (the r4 GSM full-step OOM).
+    # Recomputing a chunk is ~3 ms of MXU work; the residual that remains
+    # is just the [T, K, 7+C] gathered params (tens of MB).
     out_c, out_a, out_d = jax.lax.map(
-        tile_block, (tile_params, k_ok, px0, py0), batch_size=chunk)
+        jax.checkpoint(tile_block), (tile_params, k_ok, px0, py0),
+        batch_size=chunk)
 
     def untile(x):
         ch = x.shape[-1] if x.ndim == 3 else None
