@@ -49,7 +49,14 @@ class GSMConfig:
     # dominate)
     render_tile: int = 16
     render_span: int = 4
-    render_remat: bool = True     # recompute per-view renders in backward
+    # recompute per-view renders in backward. Off by default since the
+    # rasterizer remats per tile CHUNK (ops/gsplat.py lax.map block):
+    # measured at 65k voxels/3.3M gaussians/3 views 480x704, chunk-remat
+    # alone = 2.85 s/step; chunk+view double remat = 6.85 s; r3's
+    # view-remat-only = 3.53 s (and chunk remat is what keeps the backward
+    # residuals out of HBM — the 51.5 GB no-remat OOM was the chunked
+    # map's stacked [chunk, K, P] intermediates, now rematted away).
+    render_remat: bool = False
 
 
 def gsm_bf16_config(cfg: GSMConfig | None = None) -> GSMConfig:

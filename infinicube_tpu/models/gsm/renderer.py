@@ -45,11 +45,12 @@ def render_views(gaussians: dict, Ks: jnp.ndarray, cam_to_worlds: jnp.ndarray,
     if sky_images is None:
         sky_images = jnp.zeros((Ks.shape[0],) + image_hw + (3,))
 
-    # remat each view: without it the backward of lax.map stacks every
-    # projection/rasterization intermediate over V (several multi-GB buffers
-    # with pathological (.., 3, 2) tile padding at ~3M gaussians); with it
-    # each view's forward recomputes during backward — measured the
-    # difference between OOM (51 GB) and fitting in HBM at 3 views 480p
+    # optional per-view remat: rasterize already remats per tile chunk
+    # (ops/gsplat.py), which keeps the per-view backward residuals small
+    # ([T, K, 7+C] gathered params + sort indices, tens of MB/view), so
+    # remat=False is the fast default (2.85 s vs 6.85 s double-remat
+    # train step at 3.3M gaussians / 3 views 480p). remat=True trades the
+    # render-forward recompute back in for minimum HBM at many views.
     def one_view(args):
         K, pose, sky = args
         viewmat = invert_pose(pose)
