@@ -114,7 +114,6 @@ def main(outdir="out/e2e"):
     # ---- stage 2.5: Wan video generation (E2E_VIDEO=0 to skip) -----------
     # the reference's ~20-min A100 video stage (README.md:65): 1.3B DiT,
     # 93f@480p, 50-step CFG denoise + tiled VAE decode, random weights here
-    import os
     if os.environ.get("E2E_VIDEO", "1") != "0":
         from infinicube_tpu.inference.guidance_buffer_generation import (
             write_preview_videos)
