@@ -15,7 +15,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from infinicube_tpu.models.gsm.loss import psnr, ssim
-from infinicube_tpu.models.gsm.model import GSM, GSMConfig
+from infinicube_tpu.models.gsm.model import (
+    GSM, GSMConfig, gsm_apply_jit, gsm_init_jit)
 from infinicube_tpu.utils.gaussian_io import gaussians_to_dict, save_pkl
 
 
@@ -28,8 +29,8 @@ def reconstruct(batch: dict, mode: str = "dual", params=None, seed: int = 0,
                               use_pixel_branch=mode in ("dual", "2d"))
     model = GSM(cfg)
     if params is None:
-        params = model.init(jax.random.PRNGKey(seed), batch)
-    out = model.apply(params, batch)
+        params = gsm_init_jit(model, jax.random.PRNGKey(seed), batch)
+    out = gsm_apply_jit(model, params, batch)
     # metrics against the rendered views' ground truth: the inputs, or
     # held-out target images when target views are supplied (val-style eval)
     gt = batch.get("target_images", batch["images"]) \

@@ -24,7 +24,8 @@ from infinicube_tpu.camera.conventions import opencv_to_flu
 from infinicube_tpu.data.codec import decode_member
 from infinicube_tpu.data.tario import TarReader
 from infinicube_tpu.grid.build import grid_from_ijk
-from infinicube_tpu.models.gsm.model import GSM, GSMConfig
+from infinicube_tpu.models.gsm.model import (
+    GSM, GSMConfig, gsm_apply_jit, gsm_init_jit)
 from infinicube_tpu.utils.bbox import points_in_obb
 from infinicube_tpu.utils.gaussian_io import (
     gaussians_to_dict, save_pkl, save_splat)
@@ -161,10 +162,10 @@ def reconstruct_scene(data: dict, params=None, model: GSM | None = None,
         "depth_prior": jnp.asarray(depth, jnp.float32)[..., None],
     }
     if params is None:
-        params = model.init(jax.random.PRNGKey(seed), batch)
+        params = gsm_init_jit(model, jax.random.PRNGKey(seed), batch)
 
     # static pass (provided_depth drives the pixel branch)
-    out = model.apply(params, batch)
+    out = gsm_apply_jit(model, params, batch)
     static_gs = gaussians_to_dict(**{k: np.asarray(out["gaussians"][k])
                                      for k in ("means", "scales", "quats",
                                                "opacities", "colors")},
@@ -174,7 +175,7 @@ def reconstruct_scene(data: dict, params=None, model: GSM | None = None,
     object_gs: dict[int, dict] = {}
     dyn_ids = np.unique(instance[instance >= DYNAMIC_ID_BASE])
     if len(dyn_ids):
-        out_dyn = model.apply(params, batch, decode_all_pixels=True)
+        out_dyn = gsm_apply_jit(model, params, batch, True)
         g = {k: np.asarray(out_dyn["gaussians"][k])
              for k in ("means", "scales", "quats", "opacities", "colors",
                        "valid")}

@@ -8,6 +8,7 @@ test the reference uses (SURVEY.md §4 eval-as-test)."""
 from __future__ import annotations
 
 import argparse
+import functools
 from pathlib import Path
 
 import jax
@@ -20,6 +21,16 @@ from infinicube_tpu.models.vae import (
 from infinicube_tpu.utils.fileio import save_grid_semantic
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def _encode_jit(model, params, grids, sem):
+    return model.apply(params, grids, sem, method=SparseStructureVAE.encode)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _decode_jit(model, params, mu):
+    return model.apply(params, mu, None, method=SparseStructureVAE.decode)
+
+
 def evaluate_reconstruction(model: SparseStructureVAE, params,
                             points: jnp.ndarray, semantics_pts: jnp.ndarray,
                             rng) -> dict:
@@ -30,9 +41,8 @@ def evaluate_reconstruction(model: SparseStructureVAE, params,
     from infinicube_tpu.grid.ops import majority_label
     sem = majority_label(grids[0], points, semantics_pts, mask,
                          cfg.num_semantic)
-    mu, logvar = model.apply(params, grids, sem,
-                             method=SparseStructureVAE.encode)
-    dec = model.apply(params, mu, None, method=SparseStructureVAE.decode)
+    mu, logvar = _encode_jit(model, params, grids, sem)
+    dec = _decode_jit(model, params, mu)
     pred = dec["grid"]
     gt = grids[0]
     # IoU of voxel sets

@@ -22,6 +22,7 @@ and the world accumulation are host-side (NumPy / WorldGrid)."""
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable
 
 import jax
@@ -288,11 +289,13 @@ class VoxelWorldGenerator:
 
 def vae_decode_fn(vae, vae_params, batch_idx: int = 0) -> Callable:
     """Standard decode_fn: VAE structure decoder -> (ijk, semantics) of the
-    finest decoded grid (reference evaluation_api's decode, diffusion.py:1536)."""
+    finest decoded grid (reference evaluation_api's decode, diffusion.py:1536).
+
+    The decode apply is jitted (static model, module-scope cache): it runs
+    once per chunk/block of a world generation — eager per-op dispatch
+    through an RPC-attached accelerator costs seconds per call."""
     def fn(latents):
-        from infinicube_tpu.models.vae.sunet import SparseStructureVAE
-        dec = vae.apply(vae_params, latents, None,
-                        method=SparseStructureVAE.decode)
+        dec = _vae_decode_jit(vae, vae_params, latents)
         grid = dec["grid"]
         mask = np.asarray(grid.mask[batch_idx])
         ijk = np.asarray(grid.ijk[batch_idx])[mask]
@@ -300,3 +303,10 @@ def vae_decode_fn(vae, vae_params, batch_idx: int = 0) -> Callable:
                          )[mask]
         return ijk, sem
     return fn
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _vae_decode_jit(vae, vae_params, latents):
+    from infinicube_tpu.models.vae.sunet import SparseStructureVAE
+    return vae.apply(vae_params, latents, None,
+                     method=SparseStructureVAE.decode)

@@ -14,8 +14,10 @@ reconstruction uses ``decode_all_pixel2gs`` on the pixel branch
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from infinicube_tpu.camera import projection as proj
@@ -202,3 +204,23 @@ class GSM(nn.Module):
         return {"gaussians": gaussians, "render": render,
                 "sky_token": token, "sky_mask": sky_mask,
                 "effective_mask": eff_mask}
+
+
+# -- jitted inference entry points --------------------------------------------
+# An UNJITTED flax apply executes op-by-op; on an RPC-attached accelerator
+# every one of the model's thousands of primitive dispatches pays tunnel
+# latency (measured: the e2e stage-3 "steady" pass spent ~90 s in eager
+# apply + a repeated eager init at a scene whose jitted forward is ~1 s).
+# Module-scope jits so the compile cache persists across calls; `model` is a
+# static argument — flax modules hash by config, so fresh GSM(cfg) instances
+# with equal configs HIT the cache (the vae3d._TILE_JIT_CACHE lesson).
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def gsm_apply_jit(model: GSM, params, batch: dict,
+                  decode_all_pixels: bool = False):
+    return model.apply(params, batch, decode_all_pixels=decode_all_pixels)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def gsm_init_jit(model: GSM, rng, batch: dict):
+    return model.init(rng, batch)
