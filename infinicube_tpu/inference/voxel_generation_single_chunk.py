@@ -41,7 +41,9 @@ def main(argv=None):
     ap.add_argument("--guidance", type=float, default=1.0)
     args = ap.parse_args(argv)
     diffusion = VoxelDiffusion(DiffusionConfig())
-    params = diffusion.init(jax.random.PRNGKey(0))
+    # jit the init: the release 750M UNet's eager op-by-op init through an
+    # RPC-attached accelerator costs minutes of pure dispatch latency
+    params = jax.jit(diffusion.init)(jax.random.PRNGKey(0))
     maps = dict(np.load(args.map_points)) if args.map_points else None
 
     def decode_fn(latents):  # occupancy-threshold decode without a VAE ckpt

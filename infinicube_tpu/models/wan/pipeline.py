@@ -29,6 +29,13 @@ from infinicube_tpu.models.wan.t5 import T5Config, T5Encoder
 from infinicube_tpu.models.wan.vae3d import VideoVAE, VideoVAEConfig
 
 
+@partial(jax.jit, static_argnums=(0,))
+def _vae_decode_full(vae, vae_params, z):
+    """Non-tiled full-clip VAE decode, jitted at module scope (an eager
+    flax apply pays per-op dispatch latency on RPC-attached accelerators)."""
+    return vae.apply(vae_params, z, method=VideoVAE.decode)
+
+
 @dataclasses.dataclass(frozen=True)
 class WanPipelineConfig:
     dit: WanDiTConfig = WanDiTConfig()
@@ -402,7 +409,7 @@ class WanVideoGenerator:
             video = decode_tiled_host(self.vae, params["vae"], z,
                                       tile=(32, 32), to_uint8=True)[0]
         else:
-            video = self.vae.apply(params["vae"], z, method=VideoVAE.decode)
+            video = _vae_decode_full(self.vae, params["vae"], z)
             video = np.asarray(jax.device_get(video[0]))
             video = ((video * 0.5 + 0.5).clip(0, 1) * 255).astype(np.uint8)
         if trace:
