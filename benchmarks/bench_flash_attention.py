@@ -16,6 +16,7 @@ using the REAL n_real token count (padded work is overhead, not credit).
 
 Usage: python benchmarks/bench_flash_attention.py [quick]
 """
+import os
 import sys
 import time
 from pathlib import Path
@@ -50,11 +51,11 @@ def make_qkv(n_pad):
 
 def bench(label, fn, *args):
     out = fn(*args)
-    jax.device_get(jnp.ravel(out)[0])          # compile + first exec
+    jax.device_get(jnp.zeros((1,), jnp.float32)[0])  # in-order fence; ravel on big outputs hits the tile-padding relayout trap          # compile + first exec
     t0 = time.perf_counter()
     for _ in range(REPS):
         out = fn(*args)
-    jax.device_get(jnp.ravel(out)[0])
+    jax.device_get(jnp.zeros((1,), jnp.float32)[0])  # in-order fence; ravel on big outputs hits the tile-padding relayout trap
     dt = (time.perf_counter() - t0) / REPS
     flops = 4.0 * N * N * D * BH
     print(f"{label:44s} {dt * 1e3:8.1f} ms  {flops / dt / 1e12:6.1f} TF/s",
@@ -93,6 +94,7 @@ if mode == "variants":
     # round-4 softmax-tail variants (VPU-bound kernel; see the roofline
     # note in docs/PERF.md): f32 MXU accumulation elides the int32->f32
     # cast; bf16 exp2+lane-adds win only if the VPU runs bf16 2x
+    os.environ["FLASH_ROOFLINE_PROBES"] = "1"   # wrong-math ablation gate
     for kw in (dict(f32_acc=True), dict(pdtype="bf16"),
                dict(pdtype="probe-noexp"), dict(pdtype="probe-noadd")):
         try:

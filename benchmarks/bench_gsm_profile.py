@@ -82,9 +82,11 @@ REPS = int(os.environ.get("REPS", "3"))
 
 
 def fence(x):
-    leaves = [l for l in jax.tree.leaves(x) if hasattr(l, "ravel")]
-    for l in leaves[:1]:
-        jax.device_get(jnp.ravel(l)[0])
+    # execution is in-order on the device stream: a tiny program enqueued
+    # after x completes only after x. Never ravel a big [.., 3]/[.., 1]
+    # output (tile-padding relayout trap, CLAUDE.md).
+    del x
+    jax.device_get(jnp.zeros((1,), jnp.float32)[0])
 
 
 def timeit(label, fn, *args):

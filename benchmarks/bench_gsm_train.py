@@ -67,11 +67,28 @@ print(f"GSM params: {npar/1e6:.1f}M; voxels "
       f"{int(jax.device_get(grid.total_voxels))}", flush=True)
 
 
+# real LPIPS-VGG16 in the loss (the reference trains with LPIPS:
+# unified_loss.py:39-43). GSM_LPIPS=0 reverts to the cheap proxy; timing is
+# weight-independent so the bench uses random (checkpoint-shaped) weights.
+lpips_params = None
+if os.environ.get("GSM_LPIPS", "1") == "1":
+    from infinicube_tpu.models.gsm.lpips import LPIPS
+    _lp_dtype = jnp.bfloat16 if os.environ.get("GSM_LPIPS_BF16") else None
+    lpips_params = jax.jit(LPIPS().init)(
+        jax.random.PRNGKey(3), jnp.zeros((1, 32, 32, 3)),
+        jnp.zeros((1, 32, 32, 3)))
+    if _lp_dtype is not None:
+        lpips_params = jax.tree.map(lambda x: x.astype(_lp_dtype),
+                                    lpips_params)
+    print("LPIPS: on" + (" (bf16)" if _lp_dtype else ""), flush=True)
+
+
 def loss_fn(p, rng_, b):
     out = model.apply(p, b)
     valid = b["masks"][..., 0] * b["masks"][..., 2] > 0
     return gsm_loss(GSMLossConfig(), out["render"], b["images"], valid,
-                    out["sky_mask"], gaussians=out["gaussians"])
+                    out["sky_mask"], gaussians=out["gaussians"],
+                    lpips_params=lpips_params)
 
 
 tcfg = TrainConfig(use_ema=False)
@@ -86,5 +103,7 @@ for i in range(3):
                     batch)
 jax.device_get(m["loss"])
 dt = (time.perf_counter() - t0) / 3
-print(f"GSM train step (3 views 480x704, dual branch): {dt*1e3:.0f} ms "
+print(f"GSM train step (3 views 480x704, dual branch, "
+      f"LPIPS {'on' if lpips_params is not None else 'off'}): "
+      f"{dt*1e3:.0f} ms "
       f"(loss {float(jax.device_get(m['loss'])):.3f})", flush=True)

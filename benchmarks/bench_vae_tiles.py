@@ -31,12 +31,12 @@ REPS = 2
 def bench(label, fn, *args):
     t0 = time.perf_counter()
     out = fn(*args)
-    jax.device_get(jnp.ravel(out)[0])
+    jax.device_get(jnp.zeros((1,), jnp.float32)[0])  # in-order fence; ravel on big outputs hits the tile-padding relayout trap
     tc = time.perf_counter() - t0
     t0 = time.perf_counter()
     for _ in range(REPS):
         out = fn(*args)
-    jax.device_get(jnp.ravel(out)[0])
+    jax.device_get(jnp.zeros((1,), jnp.float32)[0])  # in-order fence; ravel on big outputs hits the tile-padding relayout trap
     dt = (time.perf_counter() - t0) / REPS
     print(f"{label:28s} compile+1st {tc:6.1f} s   steady {dt * 1e3:8.0f} ms",
           flush=True)

@@ -13,7 +13,21 @@ first pass and reports both timings — the second pass is the steady-state
 figure (a server keeps the process alive; compiles happen once per
 binary+shape). E2E_VIDEO=0 skips the Wan stage. E2E_DDIM sets the stage-1
 DDIM step count (default 10 = the fast profile; 100 = the reference's
-release default, /root/reference/README.md:43)."""
+release default, /root/reference/README.md:43).
+
+E2E_PROFILE selects the stage-1/3 configuration:
+- "demo" (default): REDUCED stages 1 and 3 — stage 1 runs a
+  transformer_depth=2 UNet with a VAE-free threshold decode, stage 3 a
+  shrunken GSM (f_maps 32, 2 views, 8 frames). Fast smoke, NOT the
+  reference workload.
+- "release": the true release configs — stage 1 the default 750M
+  DiffusionConfig (transformer_depth=12,
+  /root/reference/infinicube/voxelgen/configs/
+  diffusion_64x64x64_dense_vs02_map_cond.yaml:54-66) with the real jitted
+  VAE structure decoder per chunk (vae_decode_fn), stage 3 the default
+  release GSMConfig at the reference's key-frame count (93 frames step 6
+  -> 16 views, scene_gaussian_generation.py:225-236). Pair with
+  E2E_DDIM=100 for the full reference-fidelity measurement."""
 
 import sys
 import time
@@ -60,20 +74,45 @@ def main(outdir="out/e2e"):
     from infinicube_tpu.inference.voxel_world_generation import (
         VoxelWorldGenerator, WorldGenConfig)
 
-    dcfg = DiffusionConfig(transformer_depth=2)  # lighter middle for the demo
+    PROFILE = os.environ.get("E2E_PROFILE", "demo")
+    if PROFILE == "release":
+        # the release 750M UNet (default DiffusionConfig) + the REAL jitted
+        # VAE structure decoder chain per chunk (random weights: the struct
+        # heads grow a capacity-bounded grid; timing is weight-independent)
+        from infinicube_tpu.inference.voxel_world_generation import (
+            vae_decode_fn)
+        from infinicube_tpu.models.vae.sunet import (
+            SparseStructureVAE, SparseVAEConfig, build_hash_tree)
+        dcfg = DiffusionConfig()
+        vcfg = SparseVAEConfig()
+        vae = SparseStructureVAE(vcfg)
+        rngv = np.random.default_rng(0)
+        pts = jnp.asarray(np.stack([rngv.uniform(-25, 25, (1, 500)),
+                                    rngv.uniform(-25, 25, (1, 500)),
+                                    rngv.uniform(-12, 12, (1, 500))],
+                                   -1), jnp.float32)
+        grids0 = build_hash_tree(vcfg, pts, jnp.ones((1, 500), bool))
+        sem0 = jnp.zeros((1, grids0[0].capacity), jnp.int32)
+        vae_params = jax.jit(vae.init)(jax.random.PRNGKey(1), grids0, sem0,
+                                       jax.random.PRNGKey(2))
+        decode_fn = vae_decode_fn(vae, vae_params)
+    else:
+        dcfg = DiffusionConfig(transformer_depth=2)  # REDUCED demo UNet
+
+        def decode_fn(latents):
+            # threshold decode (VAE-free demo): latent ch0 > 1 sigma ->
+            # voxel at 4x subdivision, semantics by latent sign pattern
+            lat = np.asarray(jax.device_get(latents))[0]
+            occ = lat[..., 0] > 1.0
+            ii, jj, kk = np.meshgrid(*[np.arange(s) for s in lat.shape[:3]],
+                                     indexing="ij")
+            ijk = np.stack([ii, jj, kk], -1)[occ] + \
+                np.asarray(dcfg.cube_ijk_min)
+            sem = np.where(lat[..., 1][occ] > 0, 18, 14).astype(np.int32)
+            return (ijk * 4).astype(np.int64), sem
+
     diffusion = VoxelDiffusion(dcfg)
     params = jax.jit(diffusion.init)(jax.random.PRNGKey(0))
-
-    def decode_fn(latents):
-        # threshold decode (VAE-free demo): latent ch0 > 1 sigma -> voxel at
-        # 4x subdivision, semantics by latent sign pattern
-        lat = np.asarray(jax.device_get(latents))[0]
-        occ = lat[..., 0] > 1.0
-        ii, jj, kk = np.meshgrid(*[np.arange(s) for s in lat.shape[:3]],
-                                 indexing="ij")
-        ijk = np.stack([ii, jj, kk], -1)[occ] + np.asarray(dcfg.cube_ijk_min)
-        sem = np.where(lat[..., 1][occ] > 0, 18, 14).astype(np.int32)
-        return (ijk * 4).astype(np.int64), sem
 
     gen = VoxelWorldGenerator(diffusion, params, decode_fn,
                               WorldGenConfig(ddim_steps=int(
@@ -110,6 +149,8 @@ def main(outdir="out/e2e"):
     write_buffer_tars(outdir / "buffers", buffers, poses, cam)
     save_voxel_world(outdir / "buffers" / "world.npz", world)
     del gen, params, diffusion   # release stage-1 HBM (3 GB) for the DiT
+    if PROFILE == "release":
+        del decode_fn, vae_params    # VAE tower + jitted decode residency
 
     # ---- stage 2.5: Wan video generation (E2E_VIDEO=0 to skip) -----------
     # the reference's ~20-min A100 video stage (README.md:65): 1.3B DiT,
@@ -144,22 +185,35 @@ def main(outdir="out/e2e"):
     from infinicube_tpu.models.gsm.sky import SkyConfig
     from infinicube_tpu.utils.gaussian_io import save_pkl, save_splat
 
-    data = load_buffer_folder(outdir / "buffers", num_frames=8, stride=8)
+    if PROFILE == "release":
+        # reference key-frame selection: every 6th of 93 frames -> 16 views
+        # (scene_gaussian_generation.py:225-236); default release GSMConfig
+        # (f_maps 64, gs/voxel 4, XUnet width 32 dims (1,2,4,8), sky 192) —
+        # only the scene-crop fields describe THIS demo world
+        n_frames, stride, n_views = 16, 6, 16
+        gcfg = GSMConfig(dense_dims=(512, 256, 64),
+                         dense_ijk_min=(-32, -128, -16))
+    else:
+        n_frames, stride, n_views = 8, 8, 2
+        gcfg = GSMConfig(
+            encoder=UnifiedEncoderConfig(conv_width=32),
+            voxel=VoxelBranchConfig(f_maps=32, levels=2,
+                                    gaussians_per_voxel=2),
+            pixel=PixelBranchConfig(width=16, dims=(1, 2, 4), gs_per_pixel=1),
+            sky=SkyConfig(embed_dim=64, num_layers=2, num_heads=4),
+            dense_dims=(512, 256, 64), dense_ijk_min=(-32, -128, -16),
+            render_tile_capacity=128)
+    data = load_buffer_folder(outdir / "buffers", num_frames=n_frames,
+                              stride=stride)
     if video_frames is not None:
-        data["video"] = video_frames[:: 8][: data["depth"].shape[0]]
+        data["video"] = video_frames[::stride][: data["depth"].shape[0]]
     else:
         rng = np.random.default_rng(0)
         data["video"] = rng.uniform(size=data["depth"].shape + (3,)).astype(
             np.float32)
-    gcfg = GSMConfig(
-        encoder=UnifiedEncoderConfig(conv_width=32),
-        voxel=VoxelBranchConfig(f_maps=32, levels=2, gaussians_per_voxel=2),
-        pixel=PixelBranchConfig(width=16, dims=(1, 2, 4), gs_per_pixel=1),
-        sky=SkyConfig(embed_dim=64, num_layers=2, num_heads=4),
-        dense_dims=(512, 256, 64), dense_ijk_min=(-32, -128, -16),
-        render_tile_capacity=128)
     static_gs, object_gs, out, _, _ = timed(
-        "stage3 GSM", lambda: reconstruct_scene(data, cfg=gcfg, max_views=2))
+        f"stage3 GSM ({PROFILE}: {n_views} views)",
+        lambda: reconstruct_scene(data, cfg=gcfg, max_views=n_views))
     print(f"[stage3] {len(static_gs['means'])} gaussians")
     save_pkl(outdir / "decoded_gs_static.pkl", static_gs)
     save_splat(outdir / "decoded_gs_static.splat", static_gs)

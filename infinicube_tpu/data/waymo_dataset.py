@@ -139,7 +139,11 @@ class WaymoClipDataset:
                             cfg.frame_start,
                             max(cfg.frame_start + 1, cfg.frame_end - 1)))
                     else:
-                        start = min(cfg.val_starting_frame,
+                        # clamp INTO the configured window (a small
+                        # val_starting_frame must not select below
+                        # frame_start)
+                        start = min(max(cfg.val_starting_frame,
+                                        cfg.frame_start),
                                     max(cfg.frame_start, cfg.frame_end - 2))
                     sample = self._build_sample(scene, readers, start)
                     if sample is not None:

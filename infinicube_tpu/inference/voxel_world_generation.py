@@ -217,7 +217,10 @@ class VoxelWorldGenerator:
         """World latent ijk -> packed int64 (21 bits/axis, offset-biased:
         ±2^20 latent cells ≈ ±800 km at the 0.8 m release latent pitch)."""
         b = wijk.astype(np.int64) + (1 << 20)
-        assert ((b >= 0) & (b < (1 << 21))).all(), "latent ijk out of range"
+        if not ((b >= 0) & (b < (1 << 21))).all():
+            # explicit (not assert: stripped under -O) — out-of-range ijk
+            # would silently alias into neighboring axes' bit fields
+            raise ValueError("latent ijk outside the +-2^20 table domain")
         return (b[:, 0] << 42) | (b[:, 1] << 21) | b[:, 2]
 
     def _sdedit_from_table(self, chunk_to_world: np.ndarray):
@@ -241,6 +244,12 @@ class VoxelWorldGenerator:
     def _update_table(self, latents: np.ndarray, chunk_to_world: np.ndarray):
         keys = self._pack_keys(self._latent_world_ijk(chunk_to_world))
         flat = np.asarray(latents, np.float32).reshape(-1, latents.shape[-1])
+        # a rotated chunk_to_world can round two latent cells onto one world
+        # cell; dedupe within the update so the table keeps its unique-cells
+        # invariant (first row wins, matching the old dict semantics)
+        _, first = np.unique(keys, return_index=True)
+        if len(first) != len(keys):
+            keys, flat = keys[first], flat[first]
         if len(self._table_keys) == 0:
             fresh = np.ones(len(keys), bool)
         else:

@@ -59,6 +59,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -269,6 +270,16 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
     leading dim), N padded by the caller to a block multiple (pad rows
     ZERO); rows past ``n_real`` are masked out of every softmax. Returns
     [BH, N, d] in q's dtype (garbage in padded rows)."""
+    if pdtype not in ("f32", "bf16", "probe-noexp", "probe-noadd"):
+        raise ValueError(f"unknown pdtype {pdtype!r}")
+    if pdtype.startswith("probe-") and not os.environ.get(
+            "FLASH_ROOFLINE_PROBES"):
+        # the probes compute WRONG attention on purpose (roofline ablations,
+        # docs/PERF.md); require the explicit env gate so a stray config
+        # string can never silently select wrong math outside the benchmark
+        raise ValueError(
+            f"pdtype {pdtype!r} is a roofline probe with intentionally "
+            "wrong math; set FLASH_ROOFLINE_PROBES=1 to enable")
     BH, N, d = q.shape
     n_real = N if n_real is None else n_real
     bq, bk = min(block_q, N), min(block_k, N)

@@ -195,11 +195,30 @@ def build_gsm(cfg: Config):
     batch0 = make_batch()
     params = model.init(jax.random.PRNGKey(0), batch0)
 
+    # real LPIPS-VGG16 perceptual term (the reference trains with it,
+    # unified_loss.py:39-43). ``lpips_checkpoint`` points at the converted
+    # lpips-library state dict (.npz via convert_lpips, see
+    # models/gsm/lpips.py); the literal "random" initializes
+    # checkpoint-shaped random weights (plumbing tests / timing — the
+    # release LPIPS weights are a download this image cannot ship).
+    lpips_params = None
+    lp_ckpt = cfg.get_path("lpips_checkpoint", None)
+    if lp_ckpt:
+        from infinicube_tpu.models.gsm.lpips import LPIPS, convert_lpips
+        if lp_ckpt == "random":
+            lpips_params = jax.jit(LPIPS().init)(
+                jax.random.PRNGKey(7), jnp.zeros((1, 32, 32, 3)),
+                jnp.zeros((1, 32, 32, 3)))
+        else:
+            sd = dict(np.load(lp_ckpt))
+            lpips_params = convert_lpips(sd)
+
     def loss_fn(p, rng, batch):
         out = model.apply(p, batch)
         valid = batch["masks"][..., 0] * batch["masks"][..., 2] > 0
         return gsm_loss(lcfg, out["render"], batch["images"], valid,
-                        out["sky_mask"], gaussians=out["gaussians"])
+                        out["sky_mask"], gaussians=out["gaussians"],
+                        lpips_params=lpips_params)
 
     ds = _real_dataset(cfg)
     if ds is not None:

@@ -348,3 +348,50 @@ def test_multiview_converter_and_dataset(tmp_path):
     assert imgs.shape == (3, 60, 80, 3)                # side view padded
     assert masks[2, 40:, :, 2].max() == 0.0            # padding mask ch2
     assert masks[0, :, :, 2].min() == 1.0
+
+
+def test_split_caption_metadata_workflow(tmp_path):
+    """The reference's split -> caption -> metadata workflow end-to-end on
+    the sample data shape (assets/waymo_split/*.json via
+    WaymoDatasetConfig.scene_list_file -> generate_captions ->
+    generate_metadata_csv, mirroring
+    /root/reference/infinicube/data_process/generate_caption.py and
+    generate_metadata_csv.py), using the IN-TREE demo split assets."""
+    import csv
+    from pathlib import Path
+
+    from infinicube_tpu.data_process.captions import (
+        DistributedProcessor, generate_captions, generate_metadata_csv,
+        register_captioner)
+
+    split_dir = (Path(__file__).parent.parent / "infinicube_tpu" / "assets"
+                 / "waymo_split")
+    train_list = json.loads(
+        (split_dir / "demo_train_static_scene.json").read_text())
+    val_list = json.loads(
+        (split_dir / "demo_val_static_scene.json").read_text())
+    assert train_list and val_list and not set(train_list) & set(val_list)
+
+    for scene in train_list + val_list:
+        make_clip(tmp_path, scene=scene, frames=3)
+
+    # the split list restricts the dataset to its clips, order preserved
+    ds = WaymoClipDataset(WaymoDatasetConfig(
+        root=str(tmp_path),
+        scene_list_file=str(split_dir / "demo_val_static_scene.json"),
+        frame_start=0, frame_end=3, split="val"))
+    assert ds.scenes == val_list
+    assert len(list(ds)) == len(val_list)
+
+    # caption each TRAIN clip's video and emit the DiffSynth metadata.csv
+    register_captioner(None)  # template captioner (VLM is weight-gated)
+    videos = [tmp_path / "video" / f"{s}.mp4" for s in train_list]
+    caps = generate_captions(videos, tmp_path / "captions.json",
+                             DistributedProcessor())
+    generate_metadata_csv(caps, tmp_path / "metadata.csv")
+    with open(tmp_path / "metadata.csv") as f:
+        rows = list(csv.reader(f))
+    assert rows[0] == ["file_name", "text"]
+    assert sorted(r[0] for r in rows[1:]) == \
+        sorted(f"{s}.mp4" for s in train_list)
+    assert all(r[1] for r in rows[1:])

@@ -229,3 +229,27 @@ def test_trainable_substrings_freeze():
     np.testing.assert_array_equal(np.asarray(state.params["enc"]["w"]),
                                   np.ones(3))          # frozen
     assert np.abs(np.asarray(state.params["dec"]["w"]) - 1).max() > 1e-4
+
+
+def test_gsm_lpips_config_plumbing(monkeypatch):
+    """``lpips_checkpoint`` in the train config routes the GSM loss through
+    the real LPIPS-VGG16 module (the reference trains with LPIPS,
+    unified_loss.py:39-43) instead of the gradient proxy."""
+    import infinicube_tpu.models.gsm.lpips as lpips_mod
+    from infinicube_tpu.train import build_gsm
+
+    calls = []
+    real_lpips = lpips_mod.LPIPS
+
+    class RecordingLPIPS(real_lpips):
+        def apply(self, *a, **kw):
+            calls.append(1)
+            return real_lpips.apply(self, *a, **kw)
+
+    monkeypatch.setattr(lpips_mod, "LPIPS", RecordingLPIPS)
+
+    cfg = Config({"lpips_checkpoint": "random"})
+    params, loss_fn, batches = build_gsm(cfg)
+    total, metrics = loss_fn(params, jax.random.PRNGKey(0), next(batches))
+    assert calls, "LPIPS module was not invoked"
+    assert "perceptual" in metrics and np.isfinite(float(total))
