@@ -145,10 +145,17 @@ def sample_image_features(points: jnp.ndarray, feats: jnp.ndarray,
     """Project world points into every view and max-pool bilinear features
     (the hybrid-head multi-view sampling, voxel_branch.py:806-848).
 
-    points f32[P, 3]; feats f32[V, H, W, F] -> f32[P, F]."""
+    points f32[P, 3]; feats f32[V, H, W, F] -> f32[P, F].
+
+    Views run as a ``lax.scan`` with a running max, NOT a vmap: a vmapped
+    gather materializes the [V*P, F] bilinear temps all at once, and at
+    release inference scale (16 views x 1M gaussians x F=64, which pads
+    2x onto 128 lanes) that is 2 x 8 GB of HLO temp — a measured HBM OOM.
+    The scan peak is one view's [P, F]."""
     V, H, W, F = feats.shape
 
-    def per_view(K, pose, f):
+    def per_view(best, inp):
+        K, pose, f = inp
         uv, z, valid = proj.project_points(points, pose, K, (H, W))
         u = jnp.clip(uv[:, 0], 0.0, W - 1.001)
         v = jnp.clip(uv[:, 1], 0.0, H - 1.001)
@@ -156,8 +163,10 @@ def sample_image_features(points: jnp.ndarray, feats: jnp.ndarray,
         du, dv = (u - u0)[:, None], (v - v0)[:, None]
         g = (f[v0, u0] * (1 - du) * (1 - dv) + f[v0, u0 + 1] * du * (1 - dv) +
              f[v0 + 1, u0] * (1 - du) * dv + f[v0 + 1, u0 + 1] * du * dv)
-        return jnp.where(valid[:, None], g, -jnp.inf)
+        g = jnp.where(valid[:, None], g, -jnp.inf)
+        return jnp.maximum(best, g), None
 
-    per = jax.vmap(per_view)(Ks, cam_to_worlds, feats)   # [V, P, F]
-    out = jnp.max(per, axis=0)
+    init = jnp.full((points.shape[0], F), -jnp.inf, feats.dtype)
+    out, _ = jax.lax.scan(jax.checkpoint(per_view), init,
+                          (Ks, cam_to_worlds, feats))
     return jnp.where(jnp.isfinite(out), out, 0.0)

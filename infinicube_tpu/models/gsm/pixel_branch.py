@@ -34,6 +34,11 @@ class PixelBranchConfig:
     # otherwise saves ~3 full-res conv/GN intermediates per block (65 MB
     # each at 3x480x704xw) and the release train step OOMs one v5e
     gs_per_pixel: int = 2
+    view_chunk: int = 4                 # UNet views per chunk: the XUnet's
+    # full-res temps are [V, H, W, 128] f32 (3.05 GB EACH at 16 views @
+    # 480p — five of them live at once, a measured release-inference HBM
+    # OOM); chunking the per-view-independent UNet bounds the peak at
+    # view_chunk/V of that. Training (3 views) runs a single chunk.
     znear: float = 0.3
     zfar: float = 200.0
     max_scale: float = 0.4              # world units
@@ -158,7 +163,15 @@ class PixelBranch(nn.Module):
         V, H, W, _ = rgb.shape
         x = jnp.concatenate([rgb, depth_prior,
                              (depth_prior > 0).astype(jnp.float32)], axis=-1)
-        feats = UNet2D(cfg, name="unet")(x)
+        unet = UNet2D(cfg, name="unet")
+        vc = cfg.view_chunk or V
+        if vc >= V:
+            feats = unet(x)
+        else:
+            # repeated calls to the same named submodule share parameters;
+            # disjoint chunk liveness lets XLA serialize the UNet temps
+            feats = jnp.concatenate(
+                [unet(x[i:i + vc]) for i in range(0, V, vc)], axis=0)
         K = cfg.gs_per_pixel
         out = nn.Dense(K * 13, name="head")(feats).reshape(V, H, W, K, 13)
 

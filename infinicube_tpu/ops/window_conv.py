@@ -200,14 +200,20 @@ def _dw_kernel(P, W, nwin):
 
 
 def _window_specs(nwin, F, wblock):
-    """9*nwin window BlockSpecs: (1, wblock, F) at data-dependent rows."""
+    """9*nwin window BlockSpecs: (1, wblock, F) at data-dependent rows.
+
+    The prefetched starts ref is FLATTENED to [B, CB*9]: as an SMEM
+    operand a [B, CB, 9] array pads its minor dim 9 -> 128, and at
+    release GSM scale (C=262144, CB=2048) that padded copy is exactly
+    the 1 MB SMEM capacity (measured OOM: 2048*128*4 = 1.00M). The
+    flat layout's minor dim is CB*9, which never pads materially."""
     specs = []
     for d in range(9):
         for j in range(nwin):
             specs.append(pl.BlockSpec(
                 (1, wblock, F),
                 functools.partial(
-                    lambda b, i, s, d=0, j=0: (b, s[b, i, d] + j, 0),
+                    lambda b, i, s, d=0, j=0: (b, s[b, i * 9 + d] + j, 0),
                     d=d, j=j),
                 memory_space=pltpu.VMEM))
     return specs
@@ -239,7 +245,8 @@ def _conv_core(plan: WindowPlan, feats: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((B, C, Fo), feats.dtype),
         grid_spec=grid_spec,
         interpret=_interpret(),
-    )(plan.starts, plan.pos, *([feats] * (9 * nwin)), w.astype(feats.dtype))
+    )(plan.starts.reshape(B, CB * 9), plan.pos,
+      *([feats] * (9 * nwin)), w.astype(feats.dtype))
 
 
 def _dw_core(plan: WindowPlan, feats: jnp.ndarray,
@@ -268,7 +275,8 @@ def _dw_core(plan: WindowPlan, feats: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((27, F, Fo), jnp.float32),
         grid_spec=grid_spec,
         interpret=_interpret(),
-    )(plan.starts, plan.pos, *([feats] * (9 * nwin)), g)
+    )(plan.starts.reshape(B, CB * 9), plan.pos,
+      *([feats] * (9 * nwin)), g)
 
 
 def _fallback(plan: WindowPlan, feats: jnp.ndarray, w: jnp.ndarray,
