@@ -88,7 +88,7 @@ def loss_fn(p, rng_, b):
     valid = b["masks"][..., 0] * b["masks"][..., 2] > 0
     return gsm_loss(GSMLossConfig(), out["render"], b["images"], valid,
                     out["sky_mask"], gaussians=out["gaussians"],
-                    lpips_params=lpips_params)
+                    lpips_params=lpips_params, rng=rng_)
 
 
 tcfg = TrainConfig(use_ema=False)

@@ -23,6 +23,13 @@ class GSMLossConfig:
     alpha_weight: float = 0.5
     depth_weight: float = 0.1
     perceptual_weight: float = 0.05
+    lpips_crop: int | None = 224
+    # Real-LPIPS images are cropped to lpips_crop^2 (random offsets when an
+    # rng is passed to gsm_loss, center otherwise) — common LPIPS practice,
+    # and the costed memory lever for training at release scale: VGG16
+    # fwd+bwd over full 3x480x704 views pushes the release train step
+    # 578 MB past the 15.75 GB v5e HBM (measured compile OOM); 224^2 crops
+    # cut the VGG activation footprint 6.7x. None = full images.
 
 
 def _gaussian_kernel(size=11, sigma=1.5):
@@ -86,9 +93,11 @@ def gsm_loss(cfg: GSMLossConfig, render: dict, gt_rgb: jnp.ndarray,
              gt_mask: jnp.ndarray, sky_mask: jnp.ndarray,
              gt_depth: jnp.ndarray | None = None,
              gaussians: dict | None = None,
-             lpips_params: dict | None = None):
+             lpips_params: dict | None = None,
+             rng: jnp.ndarray | None = None):
     """render: dict from renderer (rgb/alpha/depth [V,...]); gt_mask
-    bool[V,H,W] = effective supervision mask; sky_mask bool[V,H,W]."""
+    bool[V,H,W] = effective supervision mask; sky_mask bool[V,H,W].
+    ``rng`` randomizes the per-view LPIPS crop offsets (cfg.lpips_crop)."""
     m = gt_mask.astype(jnp.float32)
     rgb_l1 = jnp.sum(jnp.abs(render["rgb"] - gt_rgb) * m[..., None]) / \
         jnp.maximum(jnp.sum(m) * 3, 1.0)
@@ -104,9 +113,37 @@ def gsm_loss(cfg: GSMLossConfig, render: dict, gt_rgb: jnp.ndarray,
     if cfg.perceptual_weight > 0:
         if lpips_params is not None:
             from infinicube_tpu.models.gsm.lpips import LPIPS
-            p = jnp.mean(LPIPS().apply(
-                lpips_params, LPIPS.from_unit_range(render["rgb"]),
-                LPIPS.from_unit_range(gt_rgb)))
+            a, b = render["rgb"], gt_rgb
+            c = cfg.lpips_crop
+            if c is not None and (a.shape[-3] > c or a.shape[-2] > c):
+                V, H, W = a.shape[-4], a.shape[-3], a.shape[-2]
+                cy, cx = min(c, H), min(c, W)
+                if rng is not None:
+                    ky, kx = jax.random.split(rng)
+                    ys = jax.random.randint(ky, (V,), 0, H - cy + 1)
+                    xs = jax.random.randint(kx, (V,), 0, W - cx + 1)
+                else:
+                    ys = jnp.full((V,), (H - cy) // 2, jnp.int32)
+                    xs = jnp.full((V,), (W - cx) // 2, jnp.int32)
+                crop = jax.vmap(lambda img, y, x: jax.lax.dynamic_slice(
+                    img, (y, x, 0), (cy, cx, img.shape[-1])))
+                a, b = crop(a, ys, xs), crop(b, ys, xs)
+            # compute in the params' dtype: bf16 LPIPS params (cast by the
+            # caller, e.g. GSM_LPIPS_BF16) halve the VGG activation
+            # footprint. jax.checkpoint drops the VGG forward residuals
+            # from the step backward's liveness window (recompute at 224^2
+            # is one cheap extra VGG forward) — together with the crop,
+            # the levers that fit real LPIPS in the release train step.
+            lp_dtype = jax.tree_util.tree_leaves(lpips_params)[0].dtype
+
+            @jax.checkpoint
+            def _lpips(a_, b_):
+                return jnp.mean(LPIPS().apply(lpips_params, a_, b_))
+
+            p = _lpips(
+                LPIPS.from_unit_range(a).astype(lp_dtype),
+                LPIPS.from_unit_range(b).astype(lp_dtype),
+            ).astype(jnp.float32)
         else:
             p = perceptual_proxy(render["rgb"], gt_rgb)
         total = total + cfg.perceptual_weight * p

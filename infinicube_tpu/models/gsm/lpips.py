@@ -54,8 +54,11 @@ class LPIPS(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
-        shift = jnp.asarray(_SHIFT)
-        scale = jnp.asarray(_SCALE)
+        # constants in the INPUT dtype: f32 defaults would promote the
+        # whole VGG back to f32 and silently defeat a bf16 serving/training
+        # cast (measured: identical HBM peak with "bf16" params)
+        shift = jnp.asarray(_SHIFT, x.dtype)
+        scale = jnp.asarray(_SCALE, x.dtype)
         net = VGG16Features(name="net")
         fx = net((x - shift) / scale)
         fy = net((y - shift) / scale)

@@ -218,7 +218,7 @@ def build_gsm(cfg: Config):
         valid = batch["masks"][..., 0] * batch["masks"][..., 2] > 0
         return gsm_loss(lcfg, out["render"], batch["images"], valid,
                         out["sky_mask"], gaussians=out["gaussians"],
-                        lpips_params=lpips_params)
+                        lpips_params=lpips_params, rng=rng)
 
     ds = _real_dataset(cfg)
     if ds is not None:

@@ -117,6 +117,37 @@ def test_gsm_forward_shapes_and_gradients():
     assert np.isfinite(total) and total > 0
 
 
+def test_gsm_loss_lpips_crop_plumbing():
+    """lpips_crop crops the real-LPIPS images (random offsets with rng,
+    center without); gradients flow and the crop changes the value."""
+    from infinicube_tpu.models.gsm.lpips import LPIPS
+    rng = jax.random.PRNGKey(0)
+    lp = jax.jit(LPIPS().init)(rng, jnp.zeros((1, 16, 16, 3)),
+                               jnp.zeros((1, 16, 16, 3)))
+    V, h, w = 2, 48, 64
+    k1, k2 = jax.random.split(rng)
+    pred = jax.random.uniform(k1, (V, h, w, 3))
+    gt = jax.random.uniform(k2, (V, h, w, 3))
+    render = {"rgb": pred, "alpha": jnp.ones((V, h, w)),
+              "depth": jnp.zeros((V, h, w))}
+    ones = jnp.ones((V, h, w), bool)
+    sky = jnp.zeros((V, h, w), bool)
+    cfg = GSMLossConfig(lpips_crop=32)
+    l_center, m1 = gsm_loss(cfg, render, gt, ones, sky, lpips_params=lp)
+    l_rng, m2 = gsm_loss(cfg, render, gt, ones, sky, lpips_params=lp,
+                         rng=jax.random.PRNGKey(3))
+    l_full, m3 = gsm_loss(GSMLossConfig(lpips_crop=None), render, gt, ones,
+                          sky, lpips_params=lp)
+    for l in (l_center, l_rng, l_full):
+        assert np.isfinite(float(l))
+    # different crops -> different perceptual values (almost surely)
+    assert float(m1["perceptual"]) != float(m3["perceptual"])
+    g = jax.grad(lambda x: gsm_loss(cfg, dict(render, rgb=x), gt, ones, sky,
+                                    lpips_params=lp,
+                                    rng=jax.random.PRNGKey(4))[0])(pred)
+    assert float(jnp.sum(jnp.abs(g))) > 0
+
+
 def test_gsm_decode_all_pixels_for_dynamic():
     cfg = tiny_cfg(use_voxel_branch=False)
     model = GSM(cfg)
