@@ -145,7 +145,12 @@ def main():
 
     def ln_mod(a, m):
         sh1, sc1, g1, sh2, sc2, g2 = [m[:, i, None, :] for i in range(6)]
-        ln = nn.LayerNorm(use_bias=False, use_scale=False, dtype=jnp.float32)
+
+        def ln(v):  # param-free LN (a bound nn.LayerNorm can't be called here)
+            v32 = v.astype(jnp.float32)
+            mu = v32.mean(-1, keepdims=True)
+            var = v32.var(-1, keepdims=True)
+            return (v32 - mu) * jax.lax.rsqrt(var + 1e-6)
         h1 = (ln(a) * (1 + sc1) + sh1).astype(jnp.bfloat16)
         a = a + (g1 * h1.astype(jnp.float32)).astype(jnp.bfloat16)
         h2 = ln(a).astype(jnp.bfloat16)

@@ -20,6 +20,45 @@ from infinicube_tpu.grid import keys as K
 from infinicube_tpu.grid.build import coarsened_grid, grid_from_keys, subdivided_grid
 from infinicube_tpu.grid.grid import Grid
 
+# Masked-max sentinel. Must be FINITE: scatter-max's VJP splits gradient
+# among tied maxima with a div, and -inf ties make it 0/0 = NaN. Large
+# enough that no real feature value reaches it, small enough that bf16
+# round-trips it.
+_NEG_SENTINEL = -7.0e37
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _scatter_max_safe(flat: jnp.ndarray, vals: jnp.ndarray, C: int):
+    """Masked scatter-max with a NaN-safe backward.
+
+    ``flat`` int32[N] target rows (== C drops the entry); ``vals``
+    f32[N, F] already sentinel-filled on masked rows. Returns f32[C, F]
+    (empty rows hold _NEG_SENTINEL). JAX's built-in scatter-max VJP
+    computes ``g / num_ties`` with num_ties = 0 off the tie set before
+    select-masking it — the stray 0/0 both trips jax_debug_nans and was
+    measured producing real NaN grads in the GSM train step. This backward
+    routes grad to tying children with a guarded div only."""
+    return (jnp.full((C, F := vals.shape[-1]), _NEG_SENTINEL, jnp.float32)
+            .at[flat].max(vals, mode="drop"))
+
+
+def _scatter_max_safe_fwd(flat, vals, C):
+    out = _scatter_max_safe(flat, vals, C)
+    return out, (flat, vals, out)
+
+
+def _scatter_max_safe_bwd(C, res, g):
+    flat, vals, out = res
+    safe = jnp.clip(flat, 0, C - 1)
+    hit = (vals == out[safe]) & (flat < C)[..., None]
+    ties = (jnp.zeros((C, vals.shape[-1]), jnp.float32)
+            .at[flat].add(hit.astype(jnp.float32), mode="drop"))
+    g_vals = jnp.where(hit, g[safe] / jnp.maximum(ties[safe], 1.0), 0.0)
+    return None, g_vals
+
+
+_scatter_max_safe.defvjp(_scatter_max_safe_fwd, _scatter_max_safe_bwd)
+
 
 # ---------------------------------------------------------------------------
 # dense <-> sparse
@@ -156,10 +195,11 @@ def scatter_to_grid(grid: Grid, points: jnp.ndarray, values: jnp.ndarray,
             out = out / jnp.maximum(cnt, 1.0)
         return out
     if reduce == "max":
-        neg = jnp.full((C, F), -jnp.inf, dtype=values.dtype)
-        out = jax.vmap(lambda i, v: neg.at[i].max(v, mode="drop"))(
-            flat, jnp.where(ok[..., None], values, -jnp.inf))
-        return jnp.where(jnp.isfinite(out), out, 0)
+        out = jax.vmap(lambda i, v: _scatter_max_safe(i, v, C))(
+            flat, jnp.where(ok[..., None], values.astype(jnp.float32),
+                            _NEG_SENTINEL))
+        return jnp.where(out > _NEG_SENTINEL / 2, out, 0.0).astype(
+            values.dtype)
     raise ValueError(f"unknown reduce {reduce}")
 
 
@@ -264,10 +304,12 @@ def max_pool(grid: Grid, data: jnp.ndarray, factor,
     ok = (pidx >= 0) & grid.mask
     flat = jnp.where(ok, pidx, coarse.capacity)
     Cc, F = coarse.capacity, data.shape[-1]
-    neg = jnp.full((Cc, F), -jnp.inf, dtype=jnp.float32)
-    out = jax.vmap(lambda i, v: neg.at[i].max(v, mode="drop"))(
-        flat, jnp.where(ok[..., None], data.astype(jnp.float32), -jnp.inf))
-    out = jnp.where(jnp.isfinite(out), out, 0.0).astype(data.dtype)
+    # NaN-safe masked scatter-max (see _scatter_max_safe: this max_pool
+    # sits in every GSM/VAE encoder backward)
+    out = jax.vmap(lambda i, v: _scatter_max_safe(i, v, Cc))(
+        flat, jnp.where(ok[..., None], data.astype(jnp.float32),
+                        _NEG_SENTINEL))
+    out = jnp.where(out > _NEG_SENTINEL / 2, out, 0.0).astype(data.dtype)
     out = jnp.where(coarse.mask[..., None], out, 0)
     return coarse, out
 

@@ -32,6 +32,9 @@ from infinicube_tpu.models.diffusion.sdedit import (
     SDEditState, make_sdedit_callback)
 from infinicube_tpu.models.diffusion.unet3d import UNet3D
 
+# per-process memo of AOT-loaded sampler executables (see evaluation_api)
+_AOT_SAMPLE: dict = {}
+
 
 @dataclasses.dataclass(frozen=True)
 class DiffusionConfig:
@@ -403,10 +406,26 @@ class VoxelDiffusion:
         (diffusion.py:1408-1566): sample latents under (EMA) params with
         CFG + optional SDEdit, then decode to a sparse semantic grid when a
         VAE ``decode_fn(latents) -> (ijk, semantics)`` is supplied."""
-        latents = self.sample(params, rng, cond, num_steps=num_steps,
-                              guidance_scale=guidance_scale, sampler=sampler,
-                              scale_factor=scale_factor, sdedit=sdedit,
-                              use_sdedit=sdedit is not None)
+        from infinicube_tpu.utils.aot import aot_dir, cached_compile
+        kw = dict(num_steps=num_steps, guidance_scale=guidance_scale,
+                  sampler=sampler, use_sdedit=sdedit is not None)
+        args = (params, rng, cond)
+        pos = dict(scale_factor=scale_factor, sdedit=sdedit)
+        if aot_dir() is not None:
+            # AOT warm path (INFINICUBE_AOT_DIR, utils/aot.py): the DDIM-100
+            # sampler is the dominant cold compile of the e2e (measured
+            # minutes per fresh process through the axon tunnel); the
+            # serialized executable reloads in ~0.2 s.
+            key = ("vox_sample", cond.map_cube.shape, num_steps,
+                   guidance_scale, sampler, sdedit is not None)
+            fn = _AOT_SAMPLE.get(key)
+            if fn is None:
+                fn = _AOT_SAMPLE[key] = cached_compile(
+                    type(self).sample, self, *args, **pos, **kw,
+                    tag="vox_sample")
+            latents = fn(*args, **pos)
+        else:
+            latents = self.sample(*args, **pos, **kw)
         if decode_fn is None:
             return latents, None
         return latents, decode_fn(latents)

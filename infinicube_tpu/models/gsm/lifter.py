@@ -154,19 +154,29 @@ def sample_image_features(points: jnp.ndarray, feats: jnp.ndarray,
     The scan peak is one view's [P, F]."""
     V, H, W, F = feats.shape
 
+    NEG = -7.0e37   # finite masked-max sentinel (see grid/ops._NEG_SENTINEL)
+
     def per_view(best, inp):
         K, pose, f = inp
         uv, z, valid = proj.project_points(points, pose, K, (H, W))
-        u = jnp.clip(uv[:, 0], 0.0, W - 1.001)
-        v = jnp.clip(uv[:, 1], 0.0, H - 1.001)
+        # Sanitize BEFORE any arithmetic: behind-camera points project to
+        # inf/NaN uv; jnp.clip propagates NaN, the bilinear weights become
+        # NaN, and although the forward masks them via the `valid` where,
+        # the backward scatters ct*weight = 0*NaN = NaN into the image
+        # feature grads — measured: this poisoned every encoder/voxel-
+        # branch grad leaf and silently NaN-skipped all GSM train steps.
+        u = jnp.clip(jnp.where(valid, uv[:, 0], 0.0), 0.0, W - 1.001)
+        v = jnp.clip(jnp.where(valid, uv[:, 1], 0.0), 0.0, H - 1.001)
         u0, v0 = jnp.floor(u).astype(jnp.int32), jnp.floor(v).astype(jnp.int32)
         du, dv = (u - u0)[:, None], (v - v0)[:, None]
         g = (f[v0, u0] * (1 - du) * (1 - dv) + f[v0, u0 + 1] * du * (1 - dv) +
              f[v0 + 1, u0] * (1 - du) * dv + f[v0 + 1, u0 + 1] * du * dv)
-        g = jnp.where(valid[:, None], g, -jnp.inf)
+        # finite sentinel, not -inf: -inf==--inf max ties NaN the max VJP's
+        # tie-splitting (same failure class as grid.ops scatter-max)
+        g = jnp.where(valid[:, None], g, NEG)
         return jnp.maximum(best, g), None
 
-    init = jnp.full((points.shape[0], F), -jnp.inf, feats.dtype)
+    init = jnp.full((points.shape[0], F), NEG, feats.dtype)
     out, _ = jax.lax.scan(jax.checkpoint(per_view), init,
                           (Ks, cam_to_worlds, feats))
-    return jnp.where(jnp.isfinite(out), out, 0.0)
+    return jnp.where(out > NEG / 2, out, 0.0)

@@ -203,9 +203,22 @@ class SparseStructureVAE(nn.Module):
             [SparseResBlock(cfg.level_features(l), dtype=cfg.dtype,
                             name=f"dec{l}_{i}") for i in range(2)]
             for l in range(L)]
-        # struct head per level transition: scores candidates at level l-1
-        self.struct_heads = [nn.Dense(2, name=f"struct{l}")
-                             for l in range(L)]
+        # Struct heads. Head L-1 scores the dense-neck cells directly
+        # (2-class per cell). Heads 0..L-2 are SUBPIXEL heads: they predict
+        # the occupancy of every child slot from the PARENT's features
+        # (2 * prod(factor) logits per parent voxel). Scoring copied child
+        # features after nearest upsampling cannot work — all children of a
+        # parent share one feature vector, capping the struct CE at the
+        # parent-level base rate (measured: levels 1/2 plateaued at CE
+        # ~0.57 ≈ -log(0.5) on a single-scene overfit while level L-1
+        # converged). The reference instead runs k=3 sparse convs on the
+        # candidate set before scoring (sunet.py:609-673); predicting the
+        # child-occupancy vector from the conv-mixed parent features is the
+        # TPU-friendly equivalent (no candidate-capacity conv plans needed).
+        self.struct_heads = [
+            nn.Dense(2 * int(np.prod(cfg.pooling_factors[l]))
+                     if l < L - 1 else 2, name=f"struct{l}")
+            for l in range(L)]
         self.sem_head = nn.Dense(cfg.num_semantic, name="sem_head")
         if cfg.use_normal_head:
             self.normal_head = nn.Dense(3, name="normal_head")
@@ -316,10 +329,25 @@ class SparseStructureVAE(nn.Module):
             factor = cfg.pooling_factors[l - 1]
             # candidates: subdivide every voxel (full fan-out capacity so no
             # candidate is dropped before the struct head scores it)
-            cand_cap = grid.capacity * int(np.prod(factor))
+            nchild = int(np.prod(factor))
+            cand_cap = grid.capacity * nchild
             cand, h_cand = upsample_nearest(grid, h, factor,
                                             capacity=cand_cap)
-            logits = self.struct_heads[l - 1](h_cand.astype(jnp.float32))
+            # subpixel struct head: per-child logits from parent features
+            # (see setup comment), gathered onto each candidate via its
+            # parent index + row-major child-offset slot
+            plog = self.struct_heads[l - 1](h.astype(jnp.float32))
+            plog = plog.reshape(plog.shape[0], plog.shape[1], nchild, 2)
+            f = jnp.asarray(factor, jnp.int32)
+            pijk = jnp.floor_divide(cand.ijk, f)
+            pidx = grid.ijk_to_index(pijk, cand.mask)
+            off = cand.ijk - pijk * f
+            off_idx = ((off[..., 0] * f[1] + off[..., 1]) * f[2]
+                       + off[..., 2])
+            logits = jax.vmap(lambda pl, pi, oi: pl[jnp.clip(pi, 0), oi])(
+                plog, pidx, off_idx)
+            logits = jnp.where(((pidx >= 0) & cand.mask)[..., None],
+                               logits, 0.0)
             if guide_grids is not None:
                 gt = guide_grids[l - 1]
                 member = index_map(cand, gt) >= 0

@@ -70,7 +70,16 @@ def project_gaussians(means: jnp.ndarray, quats: jnp.ndarray,
     R = viewmat[:3, :3]
     tcam = means @ R.T + viewmat[:3, 3]
     z = tcam[:, 2]
-    inv_z = 1.0 / jnp.maximum(z, 1e-6)
+    # Behind-/near-plane gaussians are invalidated below, but an unguarded
+    # 1/z would still flow 1e6-scale inv_z into the Jacobian terms whose
+    # squares overflow f32 in the BACKWARD pass (inf * 0-mask = NaN grads
+    # on means/quats/scales — measured: views with cameras inside the
+    # volume produced ~5e5 NaN grad entries and every train step was
+    # silently NaN-skipped). Sanitize z first; values on masked rows are
+    # irrelevant downstream.
+    front = z > near
+    z_safe = jnp.where(front, jnp.maximum(z, near), 1.0)
+    inv_z = 1.0 / z_safe
     fx, fy = K[0, 0], K[1, 1]
     u = tcam[:, 0] * inv_z * fx + K[0, 2]
     v = tcam[:, 1] * inv_z * fy + K[1, 2]
@@ -120,7 +129,16 @@ def project_gaussians(means: jnp.ndarray, quats: jnp.ndarray,
     c2 = j11 * j11 * cyy + 2 * j11 * j12 * cyz + j12 * j12 * czz + eps2d
 
     det = a2 * c2 - b2 ** 2
-    det = jnp.maximum(det, 1e-10)
+    # RELATIVE determinant floor. An absolute 1e-10 floor lets extreme
+    # needle gaussians (scale ratio ~1e4, e.g. a 29m x 4mm gaussian grazing
+    # a camera) reach conic-backward terms ~ c2/det^2 ~ 1e31 that overflow
+    # f32 — measured NaN grads on exactly one such gaussian, and fusion-
+    # sensitive (clean per-view, NaN under lax.map: fma contraction shifts
+    # the a2*c2 - b2^2 cancellation). Flooring at a fraction of a2*c2
+    # (both >= eps2d > 0) bounds |conic| <= 1e6/min(a2,c2) and every
+    # backward term, with no effect on well-conditioned gaussians where
+    # det >> 1e-6*a2*c2.
+    det = jnp.maximum(det, 1e-6 * a2 * c2)
     conic = jnp.stack([c2 / det, -b2 / det, a2 / det], -1)
     mid = 0.5 * (a2 + c2)
     lam = mid + jnp.sqrt(jnp.maximum(mid ** 2 - det, 0.01))
@@ -128,7 +146,7 @@ def project_gaussians(means: jnp.ndarray, quats: jnp.ndarray,
 
     inside = (u + radius > 0) & (u - radius < w) & \
         (v + radius > 0) & (v - radius < h)
-    valid = (z > near) & inside & (radius > radius_clip)
+    valid = front & inside & (radius > radius_clip)
     return Projected(mean2d=jnp.stack([u, v], -1), conic=conic, depth=z,
                      radius=radius, valid=valid)
 
@@ -226,7 +244,12 @@ def rasterize(proj: Projected, opacities: jnp.ndarray, colors: jnp.ndarray,
         sigma = 0.5 * (con[:, 0, None] * d[..., 0] ** 2 +
                        con[:, 2, None] * d[..., 1] ** 2) + \
             con[:, 1, None] * d[..., 0] * d[..., 1]
-        alpha = jnp.minimum(op[:, None] * jnp.exp(-sigma), 0.999)
+        # clamp sigma before exp: negative-sigma rows are masked below
+        # (sigma > 0 gate), but an unclamped exp(-sigma) can overflow to
+        # inf on them and the masking where/min backward then multiplies
+        # 0 * inf = NaN into the op/conic/mean grads
+        alpha = jnp.minimum(
+            op[:, None] * jnp.exp(-jnp.maximum(sigma, -30.0)), 0.999)
         alpha = jnp.where((sigma > 0) & kk[:, None] & (alpha > 1.0 / 255.0),
                           alpha, 0.0)             # [K, P]
         # exclusive transmittance via a strictly-lower-triangular matmul in

@@ -204,3 +204,40 @@ def test_capacity_overflow_is_surfaced():
     assert bool(g.overflowed[0])
     g2 = grid_from_ijk(ijk, jnp.ones((1, 64), bool), 0.2, 0.0, capacity=64)
     assert int(g2.num_dropped[0]) == 0 and not bool(g2.overflowed[0])
+
+
+def test_masked_max_grads_finite_and_correct():
+    """Round-5 NaN regression: scatter-max with -inf sentinels NaN'd the
+    built-in VJP (tie-split div -> 0/0); the custom _scatter_max_safe VJP
+    must give finite grads that route to the argmax child (split on ties)
+    and zero to masked children/empty parents."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from infinicube_tpu.grid.build import grid_from_ijk
+    from infinicube_tpu.grid.ops import max_pool
+
+    ijk = jnp.array([[[0, 0, 0], [1, 0, 0], [0, 1, 0], [4, 4, 0]]],
+                    jnp.int32)
+    g = grid_from_ijk(ijk, jnp.ones((1, 4), bool), capacity=8,
+                      voxel_size=1.0, origin=0.0)
+
+    def loss(x):
+        coarse, pooled = max_pool(g, x, (2, 2, 2))
+        return jnp.sum(pooled ** 2), pooled
+
+    x = jnp.arange(g.capacity * 3, dtype=jnp.float32).reshape(
+        1, g.capacity, 3) * 0.1
+    (val, pooled), grad = jax.value_and_grad(loss, has_aux=True)(x)
+    assert np.isfinite(np.asarray(grad)).all()
+    # masked rows get zero grad
+    m = np.asarray(g.mask[0])
+    assert (np.asarray(grad)[0][~m] == 0).all()
+    # the winning child's grad equals 2*max (d/dx sum(max^2))
+    gm = np.asarray(grad)[0][m]
+    pm = np.asarray(pooled)  # finite
+    assert np.isfinite(pm).all()
+    # ties: duplicate values across children split grad without NaN
+    x2 = x.at[0, :, :].set(1.0)
+    (_, _), grad2 = jax.value_and_grad(loss, has_aux=True)(x2)
+    assert np.isfinite(np.asarray(grad2)).all()

@@ -116,3 +116,48 @@ def test_background_composite():
         background=jnp.array([0.2, 0.4, 0.6]))
     np.testing.assert_allclose(np.asarray(color[10, 10]), [0.2, 0.4, 0.6],
                                atol=1e-5)
+
+
+def test_degenerate_gaussian_grads_finite_under_scan():
+    """Round-5 NaN regression (the GSM overfit freeze): a needle gaussian
+    (scale ratio ~1e4) near the camera plus behind-camera gaussians must
+    yield FINITE grads both per-view and under a lax.map over views (the
+    failing fusion: masked negative-sigma rows overflowed exp(-sigma) and
+    0*inf leaked NaN through the where/min backward; behind-camera rows
+    overflowed the projection Jacobian before z sanitization)."""
+    h, w = 48, 64
+    K = jnp.array([[55.0, 0, w / 2], [0, 55.0, h / 2], [0, 0, 1]],
+                  jnp.float32)
+    views = jnp.stack([jnp.eye(4),
+                       jnp.eye(4).at[2, 3].set(6.0)])  # one cam mid-scene
+    means = jnp.array([[0.0, 0.0, 3.0],      # normal, in front
+                       [0.5, -0.2, 5.0],     # needle
+                       [0.0, 0.0, -2.0],     # behind cam 0
+                       [0.1, 0.1, 6.5]])     # behind cam 1 (z'=0.5 for cam0)
+    quats = jnp.tile(jnp.array([[0.9, 0.1, -0.3, 0.27]]), (4, 1))
+    scales = jnp.array([[0.3, 0.3, 0.3],
+                        [29.0, 0.004, 0.06],  # the measured needle shape
+                        [0.4, 0.4, 0.4],
+                        [1.0, 0.01, 0.5]])
+    op = jnp.array([0.7, 0.002, 0.5, 0.9])
+    col = jnp.full((4, 3), 0.5)
+
+    def one_view(viewmat, m, q, s, o, c):
+        rgb, a, d = render_gaussians(m, q, s, o, c, viewmat, K, (h, w))
+        return jnp.sum(rgb) + jnp.sum(a) + 0.1 * jnp.sum(d)
+
+    def loss_map(m, q, s, o, c):
+        return jnp.sum(jax.lax.map(
+            lambda vm: one_view(vm, m, q, s, o, c), views))
+
+    g = jax.jit(jax.grad(loss_map, argnums=(0, 1, 2, 3, 4)))(
+        means, quats, scales, op, col)
+    for gi in g:
+        assert np.isfinite(np.asarray(gi)).all(), gi
+    # per-view too
+    for vi in range(2):
+        g = jax.jit(jax.grad(
+            lambda *a: one_view(views[vi], *a), argnums=(0, 1, 2, 3, 4)))(
+            means, quats, scales, op, col)
+        for gi in g:
+            assert np.isfinite(np.asarray(gi)).all(), gi
